@@ -1,0 +1,323 @@
+"""TranscriptSearchEngine — the read path (query facade).
+
+Query grammar (identical to the reference, ``query.py``):
+``+`` separates OR literals; within a literal, whitespace separates AND
+conjuncts; ``"quoted words"`` is a positional phrase; ``*`` marks a
+wildcard. Ranked retrieval is term-at-a-time tf-idf with
+``wqt = ln(1 + N/df)``, ``wdt = 1 + ln(tf)``, length-normalized by
+``L_d`` and tie-broken by lower doc_id (``query.py:69-84``,
+``diskindex.py:90-99``).
+
+Execution is Spark-first: query terms become a broadcast dimension
+joined against the postings table (the reference's query-restricted
+index load, ``diskindex.py:59-80``, re-expressed as a broadcast-hash
+join + parquet predicate pushdown on ``term``), scoring is one
+DataFrame plan ending in ``TakeOrderedAndProject`` (distributed heap
+top-k), boolean set algebra is join/union over per-conjunct doc sets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shlex
+from collections import Counter
+from functools import reduce
+from math import log
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from search_engine_spark.build import IndexBuilder
+from search_engine_spark.functions.udfs import decode_doc_tfs_udf, decode_full_udf
+from search_engine_spark.text.kgrams import kgrams, wildcard_grams
+from search_engine_spark.text.normalize import query_normalize, remove_special_characters
+
+JACCARD_THRESHOLD = 0.35  # reference query.py:14
+DEFAULT_K = 10  # reference query.py:25
+
+
+class TranscriptSearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "_meta.json")) as f:
+            meta = json.load(f)
+        self.num_docs: int = meta["num_docs"]
+        self.block_span: int = meta["block_span"]
+        p = lambda name: os.path.join(index_dir, name)  # noqa: E731
+        self.postings = spark.read.parquet(p("postings"))
+        self.terms = spark.read.parquet(p("terms"))
+        self.doc_stats = spark.read.parquet(p("doc_stats"))
+        self.kgrams = spark.read.parquet(p("kgrams"))
+        self.docs = spark.read.parquet(p("docs"))
+        if cache:
+            for df in (self.postings, self.terms, self.doc_stats, self.kgrams):
+                df.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        transcripts: DataFrame,
+        index_dir: str,
+        **builder_kwargs,
+    ) -> "TranscriptSearchEngine":
+        IndexBuilder(spark, index_dir, **builder_kwargs).build(transcripts)
+        return cls(spark, index_dir)
+
+    # ----------------------------------------------------------------- ranked
+    def ranked_query_df(self, query: str, k: int = DEFAULT_K) -> DataFrame:
+        """Top-k scoring as one DataFrame plan: (doc_id, score)."""
+        terms = self._ranked_terms(query)
+        return self._score_terms_df(terms, k)
+
+    def ranked_query(self, query: str, k: int = DEFAULT_K) -> list[tuple[int, float]]:
+        df = self.ranked_query_df(query, k)
+        return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+    def _ranked_terms(self, query: str) -> list[str]:
+        """Normalized query term list, wildcards expanded, duplicates kept
+        (the reference accumulates per occurrence, ``query.py:73-77``)."""
+        out: list[str] = []
+        for word in query.split():
+            if "*" in word:
+                # expanded vocab words are looked up through query_normalize,
+                # same as the reference's get_postings (diskindex.py:50)
+                out.extend(query_normalize(w) for w in self.wildcard_expand(word.lower()))
+            else:
+                out.append(query_normalize(word))
+        return out
+
+    def _score_terms_df(self, terms: list[str], k: int) -> DataFrame:
+        spark = self.spark
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not terms:
+            return empty
+        counts = Counter(terms)
+        # df lookup for wqt — one tiny broadcast-join job (the reference's
+        # dictionary point lookups, query.py:80)
+        qdf = spark.createDataFrame(
+            [(t, m) for t, m in counts.items()], "term string, mult int"
+        )
+        df_rows = self.terms.join(F.broadcast(qdf), "term").select("term", "df").collect()
+        dfs = {r["term"]: r["df"] for r in df_rows}
+        weighted = [
+            (t, float(m * log(1 + self.num_docs / dfs[t])))
+            for t, m in counts.items()
+            if dfs.get(t)
+        ]
+        if not weighted:
+            return empty
+        wdf = spark.createDataFrame(weighted, "term string, wqt double")
+        decoded = (
+            self.postings.join(F.broadcast(wdf), "term")
+            .withColumn("d", decode_doc_tfs_udf("postings_bin"))
+            .select("wqt", F.explode(F.arrays_zip("d.doc_ids", "d.tfs")).alias("p"))
+            .select(
+                F.col("p.doc_ids").alias("doc_id"),
+                (F.col("wqt") * (F.lit(1.0) + F.log(F.col("p.tfs")))).alias("partial"),
+            )
+        )
+        return (
+            decoded.groupBy("doc_id")
+            .agg(F.sum("partial").alias("acc"))
+            .join(self.doc_stats.select("doc_id", "weight"), "doc_id")
+            .select("doc_id", (F.col("acc") / F.col("weight")).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    # ---------------------------------------------------------------- boolean
+    def boolean_query(self, query: str) -> list[int]:
+        df = self.boolean_query_df(query)
+        return [r["doc_id"] for r in df.collect()]
+
+    def boolean_query_df(self, query: str) -> DataFrame:
+        literals = [lit.strip() for lit in query.split("+")]
+        literal_dfs = [self._literal_df(lit) for lit in literals]
+        literal_dfs = [d for d in literal_dfs if d is not None]
+        if not literal_dfs:
+            return self.spark.createDataFrame([], "doc_id long")
+        return reduce(DataFrame.union, literal_dfs).distinct().orderBy("doc_id")
+
+    def _literal_df(self, literal: str) -> DataFrame | None:
+        """Doc set for one AND literal; None when no conjunct survives."""
+        try:
+            conjuncts = shlex.split(literal)
+        except ValueError:
+            conjuncts = [literal]
+        parts: list[DataFrame] = []
+        for conjunct in conjuncts:
+            words = conjunct.split()
+            wildcards = [w for w in words if "*" in w]
+            if wildcards:
+                # reference parity (query.py:103-113): each wildcard term
+                # contributes an OR-of-expansions doc set; EMPTY results are
+                # silently dropped from the AND; non-wildcard words in the
+                # same conjunct are ignored.
+                for w in wildcards:
+                    expansion = self.wildcard_expand(w.lower())
+                    if not expansion:
+                        continue
+                    sub = self._any_term_df(
+                        [query_normalize(x) for x in expansion]
+                    ).persist()
+                    if sub.limit(1).count():
+                        parts.append(sub)
+                continue
+            terms = [query_normalize(w) for w in words]
+            if len(terms) > 1:
+                parts.append(self._phrase_df(terms))
+            elif terms:
+                parts.append(self._any_term_df(terms))
+        if not parts:
+            return None
+        return reduce(lambda a, b: a.join(b, "doc_id"), parts)
+
+    def _any_term_df(self, terms: list[str]) -> DataFrame:
+        """Docs containing ANY of ``terms`` (OR within, used for single
+        terms and wildcard expansions)."""
+        qdf = self.spark.createDataFrame([(t,) for t in set(terms)], "term string")
+        return (
+            self.postings.join(F.broadcast(qdf), "term")
+            .withColumn("d", decode_doc_tfs_udf("postings_bin"))
+            .select(F.explode("d.doc_ids").alias("doc_id"))
+            .distinct()
+        )
+
+    def _phrase_df(self, terms: list[str]) -> DataFrame:
+        """Docs where ``terms`` occur at consecutive positions
+        (reference ``query.py:143-160``: shift term i's positions by -i,
+        intersect)."""
+        n = len(terms)
+        qdf = self.spark.createDataFrame(
+            [(t, i) for i, t in enumerate(terms)], "term string, slot int"
+        )
+        exploded = (
+            self.postings.join(F.broadcast(qdf), "term")
+            .withColumn("d", decode_full_udf("postings_bin", "positions_bin"))
+            .select(
+                "slot",
+                F.explode(
+                    F.arrays_zip("d.doc_ids", "d.positions")
+                ).alias("p"),
+            )
+            .select(
+                F.col("p.doc_ids").alias("doc_id"),
+                "slot",
+                F.transform("p.positions", lambda x: x - F.col("slot")).alias("shifted"),
+            )
+        )
+        grouped = exploded.groupBy("doc_id").agg(
+            F.count_distinct("slot").alias("n_slots"),
+            F.array_sort(F.collect_list(F.struct("slot", "shifted"))).alias("sl"),
+        )
+        intersected = grouped.where(F.col("n_slots") == n).select(
+            "doc_id",
+            F.aggregate(
+                F.slice("sl", 2, n - 1),
+                F.element_at("sl", 1)["shifted"],
+                lambda acc, x: F.array_intersect(acc, x["shifted"]),
+            ).alias("common"),
+        )
+        return intersected.where(F.size("common") > 0).select("doc_id")
+
+    # --------------------------------------------------------------- wildcard
+    def wildcard_expand(self, pattern: str) -> list[str]:
+        """Vocab words containing every gram of the wildcard pattern
+        (reference ``query.py:125-134`` — NO post-filter against the
+        pattern, preserved deliberately)."""
+        grams = wildcard_grams(pattern)
+        if not grams:
+            return []
+        gdf = self.spark.createDataFrame([(g,) for g in grams], "gram string")
+        rows = (
+            self.kgrams.join(F.broadcast(gdf), "gram")
+            .groupBy("word")
+            .agg(F.count_distinct("gram").alias("ng"))
+            .where(F.col("ng") == len(grams))
+            .select("word")
+            .collect()
+        )
+        return sorted(r["word"] for r in rows)
+
+    # --------------------------------------------------------------- spelling
+    def check_spelling(
+        self, query: str, vocab: set[str], ranked_flag: bool = False
+    ) -> str | None:
+        """Spell-correct a query against ``vocab`` (reference ``query.py:35-59``)."""
+        if ranked_flag:
+            terms = query.split()
+        else:
+            terms = re.findall(r"\w+", query)
+        new_terms = [
+            t
+            if ("*" in t or remove_special_characters(t) in vocab)
+            else self.select_best_spelling(t)
+            for t in terms
+        ]
+        if terms == new_terms:
+            return None
+        if not all(new_terms):
+            return None
+        if ranked_flag:
+            return " ".join(new_terms)
+        for term, new in zip(terms, new_terms):
+            if term != new:
+                query = query.replace(term, new)
+        return query
+
+    def select_best_spelling(self, term: str) -> str | None:
+        """Best candidate by (Jaccard > 0.35) -> min edit distance -> max df
+        (reference ``query.py:61-67``, ``kgram.py:66-91``)."""
+        candidates = self.find_spelling_candidates(term, JACCARD_THRESHOLD)
+        if not candidates:
+            return None
+        # df of each candidate's stemmed form (reference get_doc_frequency
+        # normalizes first, diskindex.py:29)
+        cdf = self.spark.createDataFrame(
+            [(w, query_normalize(w)) for w in candidates], "word string, term string"
+        )
+        rows = (
+            cdf.join(self.terms.select("term", "df"), "term", "left")
+            .select("word", F.coalesce("df", F.lit(0)).alias("df"))
+            .collect()
+        )
+        dfs = {r["word"]: r["df"] for r in rows}
+        return max(sorted(candidates), key=lambda w: dfs.get(w, 0))
+
+    def find_spelling_candidates(self, qword: str, threshold: float) -> list[str]:
+        qgrams = kgrams(qword)
+        gdf = self.spark.createDataFrame([(g,) for g in qgrams], "gram string")
+        cand = (
+            self.kgrams.join(F.broadcast(gdf), "gram")
+            .groupBy("word", "n_grams")
+            .agg(F.count_distinct("gram").alias("n_common"))
+            .withColumn(
+                "jaccard",
+                F.col("n_common")
+                / (F.lit(len(qgrams)) + F.col("n_grams") - F.col("n_common")),
+            )
+            .where(F.col("jaccard") > threshold)
+            .withColumn("dist", F.levenshtein(F.lit(qword), F.col("word")))
+        )
+        rows = cand.select("word", "dist").collect()
+        if not rows:
+            return []
+        min_dist = min(r["dist"] for r in rows)
+        return sorted(r["word"] for r in rows if r["dist"] == min_dist)
+
+    # ------------------------------------------------------------------ misc
+    def vocab(self) -> list[str]:
+        """All index terms, sorted (reference ``diskindex.py:82-88``)."""
+        return [r["term"] for r in self.terms.select("term").orderBy("term").collect()]
+
+    def query(self, query: str, ranked_flag: bool = False):
+        """Reference-compatible dispatch (``query.py:29-33``)."""
+        if ranked_flag:
+            return self.ranked_query(query, DEFAULT_K)
+        return self.boolean_query(query)

@@ -1,0 +1,159 @@
+"""The full reference query set (``test/test_query.py``) against the
+Spark engine over the golden corpus — the rank-identity gate."""
+
+import math
+
+import pytest
+
+VOCAB = {
+    "test", "document", "here", "we", "go", "goe", "anoth",
+    "third", "this", "is", "a", "one",
+}
+
+
+# ---- boolean ----------------------------------------------------------------
+
+def test_standard_query(golden_engine):
+    assert golden_engine.query("test") == [0, 1, 3, 4]
+
+
+def test_phrase_query(golden_engine):
+    assert golden_engine.query('"third one"') == [2]
+
+
+def test_long_phrase_query(golden_engine):
+    assert golden_engine.query('"test document is here"') == [1]
+
+
+def test_and_query(golden_engine):
+    assert golden_engine.query("is test") == [0, 1]
+
+
+def test_or_query(golden_engine):
+    assert golden_engine.query("test + document") == [0, 1, 3, 4]
+
+
+def test_complex_query(golden_engine):
+    assert golden_engine.query('"test document"+this') == [0, 1]
+
+
+def test_query_normalizes(golden_engine):
+    assert golden_engine.query("goes") == [4]
+
+
+def test_query_not_in_index(golden_engine):
+    assert golden_engine.query("SPELLDRONG") == []
+
+
+# ---- ranked -----------------------------------------------------------------
+
+def test_doc_retrieval_ranked_one(golden_engine):
+    res = golden_engine.query("document", ranked_flag=True)
+    assert {i[0] for i in res} == {0, 1, 4}
+
+
+def test_doc_retrieval_ranked_many(golden_engine):
+    res = golden_engine.query("document test a", ranked_flag=True)
+    assert {i[0] for i in res} == {0, 1, 2, 3, 4}
+
+
+def test_most_relevant_first(golden_engine):
+    # manually derived score, reference test/test_query.py:73-84
+    wqt = math.log(1 + 5 / 4)
+    wdt = 1 + math.log(5)
+    len_doc = math.sqrt((1 + math.log(5)) ** 2)
+    res = golden_engine.query("test", ranked_flag=True)
+    assert res[0][0] == 3
+    assert res[0][1] == pytest.approx(wqt * wdt / len_doc, abs=1e-9)
+
+
+# ---- wildcard ---------------------------------------------------------------
+
+def test_basic_kgram_query(golden_engine):
+    assert set(golden_engine.query("thi*")) == {0, 2}
+
+
+def test_star_at_front_kgram(golden_engine):
+    assert set(golden_engine.query("*e")) == {1, 2, 4}
+
+
+def test_multiple_stars(golden_engine):
+    assert set(golden_engine.query("*cu*en*")) == {0, 1, 4}
+
+
+def test_with_boolean(golden_engine):
+    assert set(golden_engine.query("docu* here")) == {1, 4}
+
+
+def test_not_in_vocab(golden_engine):
+    assert golden_engine.query("teadjfkafadfadfcvbczz*") == []
+
+
+def test_wildcard_ranked_one(golden_engine):
+    res = golden_engine.query("*cume*", ranked_flag=True)
+    assert {i[0] for i in res} == {0, 1, 4}
+
+
+def test_wildcard_ranked_many(golden_engine):
+    res = golden_engine.query("docu* test a", ranked_flag=True)
+    assert {i[0] for i in res} == {0, 1, 2, 3, 4}
+
+
+def test_multiple_answer_wildcard_ranked(golden_engine):
+    res = golden_engine.query("*s", ranked_flag=True)
+    assert {i[0] for i in res} == {0, 1, 4}
+
+
+def test_wildcard_scores_correct(golden_engine):
+    # "*e" must score identically to "here we one" (test/test_query.py:140-146)
+    ans = golden_engine.query("here we one", ranked_flag=True)
+    res = golden_engine.query("*e", ranked_flag=True)
+    assert [d for d, _ in ans] == [d for d, _ in res]
+    for (_, s1), (_, s2) in zip(ans, res):
+        assert s1 == pytest.approx(s2, abs=1e-12)
+
+
+def test_wildcard_ranked_not_there(golden_engine):
+    assert golden_engine.query("ooogabb*", ranked_flag=True) == []
+
+
+# ---- spelling ---------------------------------------------------------------
+
+def test_spelling_correction_on_correct_query(golden_engine):
+    assert golden_engine.check_spelling("test", VOCAB) is None
+
+
+def test_spelling_correction_one_word(golden_engine):
+    assert golden_engine.check_spelling("tesp", VOCAB) == "test"
+
+
+def test_spelling_correction_multiple_words(golden_engine):
+    assert (
+        golden_engine.check_spelling("test documant thard is", VOCAB)
+        == "test document third is"
+    )
+
+
+def test_spelling_boolean_symbols(golden_engine):
+    assert (
+        golden_engine.check_spelling('"tesp documant herr"+this', VOCAB)
+        == '"test document here"+this'
+    )
+
+
+def test_spelling_weird_word(golden_engine):
+    assert golden_engine.check_spelling("BV*%#@QDJZ", VOCAB) is None
+
+
+def test_spelling_ranked(golden_engine):
+    assert (
+        golden_engine.check_spelling("test documant herr", VOCAB, ranked_flag=True)
+        == "test document here"
+    )
+
+
+def test_spelling_ranked_weird_word(golden_engine):
+    assert (
+        golden_engine.check_spelling("test dfkadfkahd", VOCAB, ranked_flag=True)
+        is None
+    )
