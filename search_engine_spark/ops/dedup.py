@@ -1,0 +1,338 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All pure JVM-side DataFrame expressions (whole-stage codegen; no Python
+in the hot path). Hashing is md5-derived (:mod:`.hashing`) so every
+operator has a bit-identical ANSI-SQL oracle.
+
+Scale notes (100 TB / 10^12 docs):
+
+* every groupBy/self-join here shuffles on content-derived keys
+  (fingerprint, shingle, band hash, simhash chunk) which are uniformly
+  distributed by construction — no key skew from data skew;
+* the one genuinely skew-prone key is a *hot shingle* (boilerplate
+  n-gram shared by millions of docs) in the candidate-pair self-joins;
+  ``max_shingle_df`` drops those before the join (the standard CCNet /
+  suffix-array-dedup mitigation) — a shingle shared by that many docs
+  contributes no discriminating signal anyway;
+* candidate generation is LSH-banded (linear in docs), never the O(n^2)
+  cross join; the exact-Jaccard verifier only touches candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops.hashing import M31, h31, h60, perm_ab
+
+DEFAULT_SHINGLE_K = 3
+DEFAULT_N_HASHES = 16
+DEFAULT_BANDS = 8
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), r"\s+")
+
+
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """Distinct k-word shingles per document: (id_col, shingle).
+
+    Docs shorter than ``k`` words contribute their whole text as the
+    single shingle so they still participate in dedup.
+    """
+    toks = tokens_col(text_col)
+    shingle_arr = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.select(id_col, F.explode(F.array_distinct(shingle_arr)).alias("shingle"))
+    )
+
+
+# --------------------------------------------------------------------- exact
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content fingerprint.
+
+    Returns (id_col, fingerprint, canonical_id, n_copies, is_dup):
+    ``canonical_id`` is the smallest doc id with identical text; rows
+    with ``is_dup`` true are droppable. One shuffle on the (uniform)
+    fingerprint; at 10^12 docs this is a plain hash aggregation.
+    """
+    f = df.select(id_col, F.md5(F.col(text_col)).alias("fingerprint"))
+    groups = f.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+    return f.join(groups, "fingerprint").select(
+        id_col,
+        "fingerprint",
+        "canonical_id",
+        "n_copies",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+    )
+
+
+# ------------------------------------------------------------------- minhash
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE_K,
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> DataFrame:
+    """MinHash signature per doc: (id_col, h0..h{n-1}).
+
+    sig_i(d) = min over shingles s of (a_i * h31(s) + b_i) mod (2^31-1).
+    One explode + one groupBy; the permutations are n aggregate
+    expressions over the same exploded rows (not n passes).
+    """
+    sh = shingles(df, text_col, id_col, k).withColumn("h", h31("shingle"))
+    aggs = []
+    for i in range(n_hashes):
+        a, b = perm_ab(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(M31)).alias(f"h{i}")
+        )
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_bands(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """LSH banding: (id_col, band, band_key) — one row per (doc, band).
+
+    ``band_key`` is the md5-hash of the band's signature slice, so the
+    bucket join key is small and uniform.
+    """
+    rows = n_hashes // bands
+    if rows * bands != n_hashes:
+        raise ValueError("bands must divide n_hashes")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                h60(
+                    F.concat_ws(
+                        ",", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(id_col, F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(
+    bands_df: DataFrame, id_col: str = "doc_id", max_bucket: int = 10_000
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any LSH bucket.
+
+    Buckets larger than ``max_bucket`` are dropped before the self-join
+    (a bucket of B docs emits B^2 pairs — a degenerate bucket of 10^6
+    boilerplate docs would emit 10^12 rows; such docs are caught by
+    exact dedup first).
+    """
+    sized = bands_df.join(
+        bands_df.groupBy("band", "band_key").agg(F.count("*").alias("bsz")),
+        ["band", "band_key"],
+    ).where(F.col("bsz") <= max_bucket)
+    a = sized.select("band", "band_key", F.col(id_col).alias("id_a"))
+    b = sized.select("band", "band_key", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    (id_a, id_b, n_a, n_b, n_common, jaccard). Joins only the candidate
+    pairs' shingle sets (never all-pairs); both joins shuffle on doc id.
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n"))
+    common = (
+        pairs.join(
+            shingle_df.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
+        )
+        .join(
+            shingle_df.select(F.col(id_col).alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(common, ["id_a", "id_b"], "left")
+        .na.fill({"n_common": 0})
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE_K,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection.
+
+    Candidates from LSH banding, verified with exact shingle Jaccard >=
+    ``threshold``. Linear in corpus size (plus candidate volume); the
+    scalable path for 10^12-doc dedup.
+    """
+    sh = shingles(df, text_col, id_col, k)
+    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes)
+    cands = lsh_candidate_pairs(minhash_bands(sigs, id_col, n_hashes, bands), id_col)
+    return jaccard_verify(cands, sh, id_col).where(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------- n-gram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE_K,
+    threshold: float = 0.5,
+    max_shingle_df: int = 10_000,
+) -> DataFrame:
+    """*Exact* n-gram-Jaccard near-dup pairs (no LSH approximation).
+
+    Candidate pairs = docs sharing >= 1 (non-hot) shingle, then exact
+    Jaccard. Quadratic in per-shingle doc frequency — ``max_shingle_df``
+    bounds that; use :func:`minhash_near_dup_pairs` at full scale.
+    """
+    sh = shingles(df, text_col, id_col, k)
+    sh_rare = sh.join(
+        sh.groupBy("shingle").agg(F.count("*").alias("sdf")), "shingle"
+    ).where(F.col("sdf") <= max_shingle_df)
+    a = sh_rare.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh_rare.select(F.col(id_col).alias("id_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(cands, sh, id_col).where(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------------- simhash
+SIMHASH_BITS = 48
+SIMHASH_CHUNKS = 4  # pigeonhole banding: hamming<=3 pairs share >=1 chunk
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token-weighted SimHash (``SIMHASH_BITS``-bit) per doc: (id, simhash).
+
+    Classic Charikar sketch: per token occurrence take h60's low bits,
+    per bit position sum +/-1, the sign vector packed into an int64.
+    One explode + one groupBy with ``SIMHASH_BITS`` sum-aggregates
+    (single shuffle, map-side partials).
+    """
+    tok = df.select(
+        id_col, F.explode(tokens_col(text_col)).alias("token")
+    ).withColumn("h", h60("token"))
+    aggs = [
+        F.sum(
+            F.shiftright("h", b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_bit = tok.groupBy(id_col).agg(*aggs)
+    packed = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return per_bit.select(id_col, packed.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= ``max_hamming``.
+
+    Banding by ``SIMHASH_CHUNKS`` 12-bit chunks: any pair within
+    Hamming ``SIMHASH_CHUNKS - 1`` agrees on at least one chunk
+    (pigeonhole), so candidates come from equality self-joins on chunk
+    values — linear, no cross join. Verified with ``bit_count(xor)``.
+    """
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    sh = simhash_table(df, text_col, id_col)
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("ckey"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "simhash", "ck.chunk", "ck.ckey")
+    a = chunks.select(
+        "chunk", "ckey", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = chunks.select(
+        "chunk", "ckey", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

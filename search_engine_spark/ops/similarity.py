@@ -1,0 +1,304 @@
+"""Embedding similarity search: brute-force cosine, LSH-ANN, IVF-ANN,
+and embedding-cosine near-dup pairs.
+
+The vector math is pure JVM-side array expressions (``zip_with`` +
+``aggregate`` — whole-stage codegen, no Python). LSH hyperplanes and
+IVF centroids are tiny driver-side numpy artifacts broadcast as
+literals / small DataFrames, seeded for determinism.
+
+Scale notes (10^9+ vectors):
+
+* brute-force top-k is one scan + ``TakeOrderedAndProject`` (a
+  distributed heap — no global sort); fine as the exact baseline and
+  for re-ranking, linear cost;
+* LSH/IVF prune the scan to matching buckets — a partition-pruned read
+  when the table is written partitioned/bucketed by ``bucket``;
+* near-dup pairs use the same bucket-then-verify shape as MinHash-LSH
+  (dedup.py) — never an O(n^2) cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SEED = 42
+
+
+def _vec_lit(vec) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+# --------------------------------------------------------------- brute force
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``: (id, cosine).
+
+    One scan; ``orderBy().limit(k)`` compiles to TakeOrderedAndProject
+    (per-partition heaps + driver merge, never a full sort). Ties break
+    on smaller id for determinism.
+    """
+    q = _vec_lit(query_vec)
+    return (
+        embeddings.select(
+            id_col, cosine_expr(F.col(vec_col), q).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold, by exact O(n^2) comparison.
+
+    The *oracle/baseline* path — use :func:`embedding_near_dup_pairs_lsh`
+    beyond ~10^5 vectors.
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------------- LSH
+def random_hyperplanes(dim: int, n_planes: int, seed: int = DEFAULT_SEED) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def lsh_signature_col(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-of-dot-product bucket id (int) for random-hyperplane LSH."""
+    sig = None
+    for i, plane in enumerate(planes):
+        bit = F.when(dot_expr(vec_col, _vec_lit(plane)) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        sig = bit if sig is None else sig + bit
+    return sig.cast("long")
+
+
+def lsh_bucketed(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, table, bucket): ``n_tables`` independent
+    hyperplane sets — multi-table LSH trades ~n_tables x storage for
+    recall. Write this partitioned by (table, bucket) and queries prune
+    to n_tables partitions.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    parts = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        parts.append(
+            embeddings.select(
+                id_col,
+                vec_col,
+                F.lit(t).alias("table"),
+                lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def ann_lsh_topk(
+    bucketed: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine over the union of the query's
+    buckets across all tables. Recall grows with n_tables; candidates
+    ~ n_tables * bucket_size << n.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    conds = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(len(q), n_planes, seed + 1000 * t)
+        bucket = int(sum(1 << i for i, p in enumerate(planes) if float(p @ q) >= 0))
+        conds.append((F.col("table") == t) & (F.col("bucket") == bucket))
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    cands = bucketed.where(cond).select(id_col, vec_col).distinct()
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via LSH buckets + exact-cosine verification.
+
+    Same bucket-join-verify shape as MinHash-LSH dedup; linear in n for
+    non-degenerate bucket sizes.
+    """
+    bk = lsh_bucketed(embeddings, n_planes, n_tables, seed, id_col, vec_col)
+    a = bk.select(
+        "table", "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = bk.select(
+        "table", "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    return cands.select(
+        "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+
+
+# ----------------------------------------------------------------------- IVF
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic distributed k-means (fixed iterations, seeded init).
+
+    Init = seeded sample; each iteration is one Spark aggregation
+    (assign via broadcast centroid literals, groupBy cluster, mean) —
+    centroids stay driver-side (k x dim floats), data never leaves
+    executors. Empty clusters keep their previous centroid.
+    """
+    sample = np.array(
+        [
+            list(r[0])
+            for r in embeddings.select(vec_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(n_centroids)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    centroids = sample
+    for _ in range(n_iters):
+        assigned = embeddings.select(
+            vec_col, _assign_col(F.col(vec_col), centroids).alias("cluster")
+        )
+        dim = centroids.shape[1]
+        sums = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at(vec_col, i + 1).cast("double")).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = centroids.copy()
+        for row in sums:
+            c = row["cluster"]
+            new[c] = np.array([row[f"s{i}"] for i in range(dim)]) / row["n"]
+        centroids = new
+    return centroids
+
+
+def _assign_col(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Index of the nearest centroid (max cosine; ties -> lower index)."""
+    best = F.struct(F.lit(-2.0).alias("cos"), F.lit(-1).alias("idx"))
+    for i, c in enumerate(centroids):
+        cos = cosine_expr(vec_col, _vec_lit(c))
+        best = F.when(
+            cos > best["cos"],
+            F.struct(cos.alias("cos"), F.lit(i).alias("idx")),
+        ).otherwise(best)
+    return best["idx"]
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, cluster) — write partitioned by cluster for
+    partition-pruned probes."""
+    return embeddings.select(
+        id_col, vec_col, _assign_col(F.col(vec_col), centroids).alias("cluster")
+    )
+
+
+def ann_ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k scanning only the ``n_probe`` nearest clusters."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = (centroids @ q) / (
+        np.linalg.norm(centroids, axis=1) * np.linalg.norm(q) + 1e-12
+    )
+    probes = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    cands = assigned.where(F.col("cluster").isin(probes))
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)

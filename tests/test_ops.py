@@ -1,0 +1,223 @@
+"""Tests for the training-data pipeline operators (ops package)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import dedup, multimodal, similarity, textstats
+from search_engine_spark.ops.hashing import M31, h60, perm_ab, py_h31, py_h60
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different content about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(30):
+        if i == 1:  # near-dup of vec 0
+            v = base + rng.standard_normal(8) * 0.01
+        else:
+            v = rng.standard_normal(8)
+        if i == 0:
+            v = base
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+# ------------------------------------------------------------------- hashing
+def test_h60_matches_python(spark):
+    df = spark.createDataFrame([("abc",), ("",), ("héllo wörld",)], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", h60("s").alias("h")).collect()}
+    for s, h in got.items():
+        assert h == py_h60(s)
+        assert 0 <= h < 2**60
+
+
+def test_perm_ab_in_range():
+    for i in range(64):
+        a, b = perm_ab(i)
+        assert 0 < a < M31 and 0 <= b < M31
+
+
+# --------------------------------------------------------------------- dedup
+def test_exact_duplicates(docs):
+    out = {r["doc_id"]: r for r in dedup.exact_duplicates(docs).collect()}
+    assert out[3]["is_dup"] and out[3]["canonical_id"] == 0
+    assert out[0]["n_copies"] == 2 and not out[0]["is_dup"]
+    assert not out[2]["is_dup"]
+
+
+def test_shingles_short_doc(docs):
+    sh = dedup.shingles(docs).where(F.col("doc_id") == 4).collect()
+    assert [r["shingle"] for r in sh] == ["short doc"]
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0
+    assert all(a == 0 or a == 1 or a == 3 for a, b in pairs)
+
+
+def test_ngram_jaccard_matches_minhash_on_small(docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    assert approx <= exact  # LSH candidates are verified, so no false positives
+    assert exact == approx  # and on this corpus recall is total
+
+
+def test_simhash_near_dups(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_table(docs).collect()}
+    assert sh[0] == sh[3]  # identical text -> identical sketch
+    assert bin(sh[0] ^ sh[1]).count("1") < bin(sh[0] ^ sh[2]).count("1")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs[(0, 3)] == 0
+
+
+# ---------------------------------------------------------------- similarity
+def test_cosine_topk_exact(emb):
+    top = similarity.cosine_topk(emb.where("vec_id != 0"), _qv(emb), k=3).collect()
+    assert top[0]["vec_id"] == 1 and top[0]["cosine"] > 0.99
+    assert top[0]["cosine"] >= top[1]["cosine"] >= top[2]["cosine"]
+
+
+def _qv(emb):
+    return [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+
+
+def test_ann_lsh_finds_nearest(emb):
+    bk = similarity.lsh_bucketed(emb, n_planes=4, n_tables=4)
+    top = similarity.ann_lsh_topk(
+        bk.where("vec_id != 0"), _qv(emb), k=3, n_planes=4, n_tables=4
+    ).collect()
+    # the planted near-dup shares every hyperplane side with the query,
+    # so it is always in the probed buckets
+    assert top[0]["vec_id"] == 1
+
+
+def test_near_dup_pairs_exact_vs_lsh(emb):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs_exact(emb, 0.95).collect()
+    }
+    assert (0, 1) in exact
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs_lsh(
+            emb, 0.95, n_planes=4, n_tables=6
+        ).collect()
+    }
+    assert lsh <= exact and (0, 1) in lsh
+
+
+def test_ivf_topk(emb):
+    cents = similarity.ivf_centroids(emb, n_centroids=4, n_iters=2)
+    assert cents.shape == (4, 8)
+    assigned = similarity.ivf_assign(emb, cents)
+    assert assigned.select("cluster").distinct().count() <= 4
+    top = similarity.ann_ivf_topk(
+        assigned.where("vec_id != 0"), cents, _qv(emb), k=3, n_probe=4
+    ).collect()
+    assert top[0]["vec_id"] == 1  # n_probe=all -> exact
+
+
+# ----------------------------------------------------------------- textstats
+def test_language_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is on the mat and it is fine"),
+            (1, "der hund ist ein guter hund und das ist gut"),
+            (2, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in textstats.language_scores(df).collect()}
+    assert out == {0: "en", 1: "de", 2: "und"}
+
+
+def test_quality_scores(spark):
+    df = spark.createDataFrame(
+        [(0, "a decent length document with varied words here"),
+         (1, "x x x x x x x x x x x x x x x x x x x x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.quality_scores(df).collect()}
+    assert out[0]["quality"] == 1.0
+    assert out[1]["distinct_ratio"] == 0.05
+    assert out[1]["quality"] < out[0]["quality"]
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "hello world, it's 2026!")], "doc_id long, text string")
+    r = textstats.token_counts(df).first()
+    assert r["ws_tokens"] == 4
+    # hello | world | , | it | ' | s | 2026 | !
+    assert r["bpe_tokens"] == 8
+
+
+def test_fingerprints_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "c b a"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textstats.fingerprints(df).collect()}
+    assert out[0]["poly_fp"] == out[2]["poly_fp"]
+    assert out[0]["poly_fp"] != out[1]["poly_fp"]  # order matters
+    assert out[0]["md5_fp"] == out[2]["md5_fp"]
+    # cross-check the fold against pure Python
+    expect = 0
+    for t in ["a", "b", "c"]:
+        expect = (expect * textstats.POLY_B + py_h31(t)) % textstats.POLY_P
+    assert out[0]["poly_fp"] == expect
+
+
+# ---------------------------------------------------------------- multimodal
+def test_multimodal_pipeline(spark):
+    media = multimodal.synthetic_media(spark, 30, num_partitions=3)
+    media.cache()
+    assert media.count() == 30
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 30
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in feats)
+    # determinism: same media -> same features
+    again = multimodal.extract_features(media).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == {
+        r["media_id"]: r["features"] for r in again
+    }
+    frames = multimodal.sample_frames(media, every_ms=500)
+    fr = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 2 for r in fr)
+    resized = multimodal.resize_images(media, 64, 64)
+    imgs = resized.where("kind = 'image'").collect()
+    assert all(r["width"] == 64 and r["height"] == 64 for r in imgs)
+    stats = {r["kind"]: r["n"] for r in multimodal.media_stats(media).collect()}
+    assert stats == {"image": 10, "audio": 10, "video": 10}
+
+
+def test_real_decode_raises(spark):
+    media = multimodal.synthetic_media(spark, 3)
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, decode="real").collect()
