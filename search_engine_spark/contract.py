@@ -1,0 +1,601 @@
+"""Driver-contract query catalog: Spark queries + DuckDB oracle SQL.
+
+Each entry is (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+The oracle replicates the exact semantics of the Spark plan in DuckDB
+SQL; hashing is md5-derived on both sides (:mod:`.ops.hashing`) so the
+integer outputs are bit-identical, and floats are rounded to fixed
+precision in BOTH plans before comparison. Column names and types are
+aligned explicitly (DuckDB sum/count/len default to wider types than
+Spark — every aggregate is cast).
+
+Porter2-stemmed engine parity cannot be expressed in ANSI SQL; those
+operators are proven by the golden reference tests (tests/) and appear
+here as rows-only entries (``engine_*``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import dedup, similarity, textstats
+from search_engine_spark.ops.hashing import M31, perm_ab, sql_h31, sql_h60
+from search_engine_spark import simple
+
+# ---------------------------------------------------------------- parameters
+RANKED_TERMS = ["spark", "join", "fast"]
+AND_TERMS = ["spark", "vector", "dup"]
+OR_LITERALS = [["dup"], ["customer", "stream"]]
+PHRASE = ["hash", "join"]
+WILDCARD = "s*m"
+SPELL_WORD = "jion"
+MINHASH_N, MINHASH_BANDS = 8, 4
+JACCARD_T = 0.7
+NGRAM_T = 0.5
+SIMHASH_HAMMING = 3
+COSINE_T = 0.45
+
+_doc = lambda spark, sf: spark.read.parquet(f"{sf}/documents.parquet")  # noqa: E731
+_emb = lambda spark, sf: spark.read.parquet(f"{sf}/embeddings.parquet")  # noqa: E731
+
+
+# ------------------------------------------------------------- SQL fragments
+TOKS = r"""
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '\s+')) AS term,
+         CAST(unnest(range(len(string_split_regex(text, '\s+')))) AS BIGINT) AS pos
+  FROM documents
+)"""
+
+TF = """
+tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY term, doc_id
+)"""
+
+SHINGLES = r"""
+w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(ws) >= 3 THEN array_to_string(list_slice(ws, s, s + 2), ' ')
+         ELSE array_to_string(ws, ' ') END AS shingle
+  FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 2))) AS s FROM w)
+)"""
+
+
+def _sig_exprs() -> list[str]:
+    out = []
+    for i in range(MINHASH_N):
+        a, b = perm_ab(i)
+        out.append(f"CAST(min(({a} * h + {b}) % {M31}) AS BIGINT) AS h{i}")
+    return out
+
+
+MINHASH_SIGS = f"""
+hs AS (SELECT doc_id, {sql_h31('shingle')} AS h FROM sh),
+sigs AS (SELECT doc_id, {', '.join(_sig_exprs())} FROM hs GROUP BY doc_id)"""
+
+_ROWS_PER_BAND = MINHASH_N // MINHASH_BANDS
+
+
+def _band_key_sql(b: int) -> str:
+    concat = " || ',' || ".join(
+        f"CAST(h{b * _ROWS_PER_BAND + r} AS VARCHAR)" for r in range(_ROWS_PER_BAND)
+    )
+    return sql_h60(f"({concat})")
+
+
+MINHASH_CANDS = f"""
+bands AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sigs" for b in range(MINHASH_BANDS))}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)"""
+
+JACCARD_VERIFY = """
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         COALESCE(cm.n_common, 0) / CAST(na.n + nb.n - COALESCE(cm.n_common, 0) AS DOUBLE) AS jaccard
+  FROM cands c
+  LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+  JOIN sizes na ON na.doc_id = c.id_a
+  JOIN sizes nb ON nb.doc_id = c.id_b
+)"""
+
+_B = dedup.SIMHASH_BITS
+_CHUNK_BITS = _B // dedup.SIMHASH_CHUNKS
+SIMHASH_SQL = f"""
+tokh AS (SELECT doc_id, {sql_h60('term')} AS h FROM toks),
+bits AS (
+  SELECT doc_id,
+    {', '.join(f'sum(((h >> {b}) & 1) * 2 - 1) AS b{b}' for b in range(_B))}
+  FROM tokh GROUP BY doc_id
+),
+simh AS (
+  SELECT doc_id,
+    CAST({' + '.join(f'(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)' for b in range(_B))} AS BIGINT) AS simhash
+  FROM bits
+)"""
+
+COSINE_SQL = """
+nrm AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+  FROM embeddings
+)"""
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textstats.LANG_PROFILES[lang])
+    return f"CAST(count(CASE WHEN term IN ({words}) THEN 1 END) AS INT) AS score_{lang}"
+
+
+def _pred_lang_sql() -> str:
+    langs = sorted(textstats.LANG_PROFILES)
+    greatest = f"greatest({', '.join('score_' + lang for lang in langs)})"
+    whens = " ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    )
+    return f"CASE WHEN {greatest} <= 0 THEN 'und' {whens} END AS pred_lang"
+
+
+# --------------------------------------------------------------- the catalog
+def _ranked_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return simple.ranked_topk(_doc(spark, sf), RANKED_TERMS, k=10)
+
+
+def _minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_signatures(_doc(spark, sf), n_hashes=MINHASH_N)
+
+
+def _minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_near_dup_pairs(
+        _doc(spark, sf),
+        n_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_T,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _ngram_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_doc(spark, sf), threshold=NGRAM_T).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(
+        _doc(spark, sf), max_hamming=SIMHASH_HAMMING
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb(spark, sf)
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    top = similarity.cosine_topk(emb.where("vec_id <> 0"), qv, k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs_exact(
+        _emb(spark, sf), threshold=COSINE_T
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _quality(spark: SparkSession, sf: str) -> DataFrame:
+    q = textstats.quality_scores(_doc(spark, sf))
+    return q.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "stopword_ratio",
+        "distinct_ratio",
+        "alnum_ratio",
+        "quality",
+    )
+
+
+def _token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    t = textstats.token_counts(_doc(spark, sf))
+    return t.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+
+
+def _pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _top_customers(spark: SparkSession, sf: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def _events_last(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+
+
+def _engine_ranked(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL Porter2 engine end-to-end (rows-only check: stemming is
+    not ANSI-SQL-expressible; parity is proven by the golden tests)."""
+    import hashlib
+    import os
+
+    from search_engine_spark.engine import TranscriptSearchEngine
+    from search_engine_spark.fixtures import documents_as_transcripts
+    from search_engine_spark.session import package_zip
+
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added to this context
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    index_dir = f"/tmp/se_contract_index_{tag}"
+    if not os.path.exists(os.path.join(index_dir, "_meta.json")):
+        TranscriptSearchEngine.build(
+            spark, documents_as_transcripts(_doc(spark, sf)), index_dir
+        )
+    eng = TranscriptSearchEngine(spark, index_dir, cache=False)
+    return eng.ranked_query_df("spark join fast", k=10)
+
+
+def _ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb(spark, sf)
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    bucketed = similarity.lsh_bucketed(emb.where("vec_id <> 0"), n_planes=8, n_tables=4)
+    return similarity.ann_lsh_topk(bucketed, qv, k=10, n_planes=8, n_tables=4).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _multimodal(spark: SparkSession, sf: str) -> DataFrame:
+    from search_engine_spark.ops import multimodal
+    from search_engine_spark.session import package_zip
+
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass
+    media = multimodal.synthetic_media(spark, 60, num_partitions=4)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "kind", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
+_IN_RANKED = ", ".join(f"'{t}'" for t in RANKED_TERMS)
+_IN_AND = ", ".join(f"'{t}'" for t in AND_TERMS)
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # ---- inverted-index operator semantics (simple analyzer, B1-B4, Q6-Q11, Q14/Q18)
+    "tf_table": (
+        lambda spark, sf: simple.tf_table(_doc(spark, sf)),
+        f"WITH {TOKS}, {TF} SELECT term, doc_id, tf FROM tf",
+    ),
+    "doc_weights": (
+        lambda spark, sf: simple.doc_weight_table(simple.tf_table(_doc(spark, sf))),
+        f"""WITH {TOKS}, {TF}
+        SELECT doc_id, round(sqrt(sum(pow(1 + ln(tf), 2))), 6) AS weight,
+               CAST(sum(tf) AS BIGINT) AS doc_len
+        FROM tf GROUP BY doc_id""",
+    ),
+    "term_stats": (
+        lambda spark, sf: simple.term_stats(simple.tf_table(_doc(spark, sf))),
+        f"""WITH {TOKS}, {TF}
+        SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        FROM tf GROUP BY term""",
+    ),
+    "ranked_topk": (
+        _ranked_topk,
+        f"""WITH {TOKS}, {TF},
+        wt AS (SELECT doc_id, sqrt(sum(pow(1 + ln(tf), 2))) AS w FROM tf GROUP BY doc_id),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        st AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        acc AS (
+          SELECT tf.doc_id,
+                 sum(ln(1 + (SELECT n FROM nn) / st.df) * (1 + ln(tf.tf))) AS acc
+          FROM tf JOIN st USING (term)
+          WHERE tf.term IN ({_IN_RANKED})
+          GROUP BY tf.doc_id
+        )
+        SELECT acc.doc_id, round(acc.acc / wt.w, 6) AS score
+        FROM acc JOIN wt USING (doc_id)
+        ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    ),
+    "boolean_and": (
+        lambda spark, sf: simple.docs_with_all(_doc(spark, sf), AND_TERMS),
+        f"""WITH {TOKS}
+        SELECT doc_id FROM (
+          SELECT doc_id, count(DISTINCT term) AS nt FROM toks
+          WHERE term IN ({_IN_AND}) GROUP BY doc_id
+        ) WHERE nt = {len(AND_TERMS)}""",
+    ),
+    "boolean_or": (
+        lambda spark, sf: simple.boolean_or_of_ands(_doc(spark, sf), OR_LITERALS),
+        f"""WITH {TOKS}
+        SELECT DISTINCT doc_id FROM (
+          {' UNION ALL '.join(
+            f'''SELECT doc_id FROM (
+              SELECT doc_id, count(DISTINCT term) AS nt FROM toks
+              WHERE term IN ({", ".join(f"'{t}'" for t in lit)}) GROUP BY doc_id
+            ) WHERE nt = {len(lit)}''' for lit in OR_LITERALS
+          )}
+        )""",
+    ),
+    "phrase_match": (
+        lambda spark, sf: simple.phrase_match(_doc(spark, sf), PHRASE),
+        f"""WITH {TOKS},
+        q(term, slot) AS (VALUES {', '.join(f"('{t}', {i})" for i, t in enumerate(PHRASE))}),
+        hits AS (
+          SELECT toks.doc_id, toks.pos - q.slot AS anchor, q.slot
+          FROM toks JOIN q ON toks.term = q.term
+        )
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_id, anchor, count(DISTINCT slot) AS ns
+          FROM hits GROUP BY doc_id, anchor
+        ) WHERE ns = {len(PHRASE)}""",
+    ),
+    "wildcard_vocab": (
+        lambda spark, sf: simple.wildcard_vocab(_doc(spark, sf), WILDCARD),
+        None,  # filled below (gram containment on '$word$')
+    ),
+    "spell_candidates": (
+        lambda spark, sf: simple.spelling_candidates(_doc(spark, sf), SPELL_WORD),
+        f"""WITH {TOKS}, {TF}
+        SELECT term AS word, CAST(levenshtein(term, '{SPELL_WORD}') AS INT) AS dist,
+               CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY term
+        HAVING levenshtein(term, '{SPELL_WORD}') <= 2""",
+    ),
+    # ---- dedup
+    "dedup_exact": (
+        lambda spark, sf: dedup.exact_duplicates(_doc(spark, sf)),
+        """WITH f AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+        g AS (SELECT fingerprint, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+                     CAST(count(*) AS BIGINT) AS n_copies
+              FROM f GROUP BY fingerprint)
+        SELECT f.doc_id, f.fingerprint, g.canonical_id, g.n_copies,
+               (f.doc_id <> g.canonical_id) AS is_dup
+        FROM f JOIN g USING (fingerprint)""",
+    ),
+    "minhash_signatures": (
+        _minhash_sigs,
+        f"WITH {SHINGLES}, {MINHASH_SIGS} SELECT * FROM sigs",
+    ),
+    "minhash_near_dups": (
+        _minhash_pairs,
+        f"""WITH {SHINGLES}, {MINHASH_SIGS}, {MINHASH_CANDS}, {JACCARD_VERIFY}
+        SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+        FROM verified WHERE jaccard >= {JACCARD_T}""",
+    ),
+    "ngram_jaccard_pairs": (
+        _ngram_pairs,
+        f"""WITH {SHINGLES},
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+          WHERE a.doc_id < b.doc_id
+        ), {JACCARD_VERIFY}
+        SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+        FROM verified WHERE jaccard >= {NGRAM_T}""",
+    ),
+    "simhash_table": (
+        lambda spark, sf: dedup.simhash_table(_doc(spark, sf)),
+        f"WITH {TOKS}, {SIMHASH_SQL} SELECT doc_id, simhash FROM simh",
+    ),
+    "simhash_near_dups": (
+        _simhash_pairs,
+        f"""WITH {TOKS}, {SIMHASH_SQL},
+        ck AS (
+          SELECT doc_id, simhash, c,
+                 (simhash >> (c * {_CHUNK_BITS})) & {(1 << _CHUNK_BITS) - 1} AS ckey
+          FROM (SELECT doc_id, simhash, CAST(unnest(range({dedup.SIMHASH_CHUNKS})) AS INT) AS c FROM simh)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM ck a JOIN ck b ON a.c = b.c AND a.ckey = b.ckey
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING}""",
+    ),
+    # ---- embedding similarity
+    "embed_cosine_topk": (
+        _cosine_topk,
+        f"""WITH {COSINE_SQL},
+        q AS (SELECT embedding AS qe, l2 AS ql2 FROM nrm WHERE vec_id = 0),
+        s AS (
+          SELECT vec_id, {_dot('embedding', '(SELECT qe FROM q)')} / (l2 * (SELECT ql2 FROM q)) AS c
+          FROM nrm WHERE vec_id <> 0
+        )
+        SELECT vec_id, round(c, 6) AS cosine FROM s
+        ORDER BY c DESC, vec_id ASC LIMIT 10""",
+    ),
+    "embed_near_dups": (
+        _cosine_pairs,
+        f"""WITH {COSINE_SQL}
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_dot('a.embedding', 'b.embedding')} / (a.l2 * b.l2), 6) AS cosine
+        FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+        WHERE {_dot('a.embedding', 'b.embedding')} / (a.l2 * b.l2) >= {COSINE_T}""",
+    ),
+    # ---- text analysis
+    "lang_id": (
+        lambda spark, sf: textstats.language_scores(_doc(spark, sf)),
+        f"""WITH {TOKS},
+        sc AS (
+          SELECT doc_id,
+            {', '.join(_lang_score_sql(lang) for lang in sorted(textstats.LANG_PROFILES))}
+          FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id, {', '.join('score_' + lang for lang in sorted(textstats.LANG_PROFILES))},
+               {_pred_lang_sql()}
+        FROM sc""",
+    ),
+    "quality_scores": (
+        _quality,
+        r"""WITH base AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+                 string_split_regex(text, '\s+') AS toks,
+                 text
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, n_chars, n_words,
+            (n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE) AS mean_wl,
+            len(list_filter(toks, t -> t IN (__EN_WORDS__))) / CAST(n_words AS DOUBLE) AS stop_ratio,
+            len(list_distinct(toks)) / CAST(n_words AS DOUBLE) AS distinct_ratio,
+            length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) / CAST(n_chars AS DOUBLE) AS alnum_ratio
+          FROM base
+        )
+        SELECT doc_id, n_chars, n_words,
+          round(mean_wl, 6) AS mean_word_len,
+          round(stop_ratio, 6) AS stopword_ratio,
+          round(distinct_ratio, 6) AS distinct_ratio,
+          round(alnum_ratio, 6) AS alnum_ratio,
+          round(CAST(
+            (CASE WHEN n_words >= 5 AND n_words <= 10000 THEN 0.25 ELSE 0.0 END)
+            + (CASE WHEN mean_wl >= 2 AND mean_wl <= 12 THEN 0.25 ELSE 0.0 END)
+            + (CASE WHEN distinct_ratio >= 0.1 THEN 0.25 ELSE 0.0 END)
+            + (CASE WHEN alnum_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
+          AS DOUBLE), 6) AS quality
+        FROM m""".replace(
+            "__EN_WORDS__",
+            ", ".join(f"'{w}'" for w in textstats.LANG_PROFILES["en"]),
+        ),
+    ),
+    "token_counts": (
+        _token_counts,
+        f"""SELECT doc_id,
+          CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS ws_tokens,
+          CAST(len(regexp_extract_all(text, '{textstats.BPE_PATTERN}')) AS BIGINT) AS bpe_tokens
+        FROM documents""",
+    ),
+    "fingerprints": (
+        lambda spark, sf: textstats.fingerprints(_doc(spark, sf)),
+        f"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents)
+        SELECT doc_id,
+          md5(array_to_string(ws, ' ')) AS md5_fp,
+          CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT), list_transform(ws, t -> {sql_h31('t')})),
+            (acc, x) -> (acc * {textstats.POLY_B} + x) % {textstats.POLY_P}
+          ) AS BIGINT) AS poly_fp
+        FROM w""",
+    ),
+    # ---- general relational coverage (TPC-H-ish + window)
+    "pricing_summary": (
+        _pricing_summary,
+        """SELECT l_returnflag, l_linestatus,
+          round(sum(l_quantity), 2) AS sum_qty,
+          round(sum(l_extendedprice), 2) AS sum_base_price,
+          round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+          round(avg(l_discount), 6) AS avg_disc,
+          CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""",
+    ),
+    "top_customers": (
+        _top_customers,
+        """SELECT c_custkey,
+          round(sum(o_totalprice), 2) AS revenue,
+          CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 10""",
+    ),
+    "events_last_per_user": (
+        _events_last,
+        """SELECT user_id, event_id AS last_event_id, event_type AS last_type
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+          ) AS rn FROM events
+        ) WHERE rn = 1""",
+    ),
+    # ---- rows-only entries (not ANSI-SQL-expressible)
+    "engine_ranked_porter": (_engine_ranked, None),
+    "ann_lsh_topk": (_ann_lsh, None),
+    "multimodal_features": (_multimodal, None),
+}
+
+# wildcard oracle: word matches iff '$word$' contains every pattern gram
+from search_engine_spark.text.kgrams import wildcard_grams  # noqa: E402
+
+_WGRAMS = sorted(wildcard_grams(WILDCARD))
+REGISTRY["wildcard_vocab"] = (
+    REGISTRY["wildcard_vocab"][0],
+    f"""WITH {TOKS}, v AS (SELECT DISTINCT term AS word FROM toks)
+    SELECT word FROM v
+    WHERE {' AND '.join("strpos('$' || word || '$', '" + g + "') > 0" for g in _WGRAMS)}""",
+)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

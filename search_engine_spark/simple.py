@@ -1,0 +1,232 @@
+"""Simple-analyzer relational index primitives (pure JVM expressions).
+
+The full engine (:mod:`.build` / :mod:`.engine`) normalizes with
+Porter2 stemming inside Arrow UDFs — bit-faithful to the reference but
+not expressible in ANSI SQL, so its parity is proven by the golden
+tests against the reference's own corpus/query set (tests/).
+
+This module re-expresses the same *operator semantics* — positional
+tf table, doc-length weights (``diskindex.py:302-306``), term-at-a-time
+tf-idf ranking (``query.py:69-84``), boolean AND/OR (``query.py:118-122``),
+positional phrase match (``query.py:143-160``), k-gram wildcard
+expansion (``query.py:125-134``), and Levenshtein spelling candidates
+(``kgram.py:66-91``) — over a trivial whitespace analyzer, with **zero
+Python in the plan** (whole-stage codegen end to end). That makes every
+operator independently checkable by the driver's DuckDB oracle, and it
+is also the fastest path when stemming isn't wanted.
+
+Scale: identical shapes to the full engine — one posexplode + groupBy
+per build table, broadcast query dims, TakeOrderedAndProject top-k.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.text.kgrams import wildcard_grams
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.col(text_col), r"\s+")
+
+
+def tokens_with_pos(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, term): 0-based whitespace token positions."""
+    return docs.select(
+        id_col, F.posexplode(_tokens(text_col)).alias("pos", "term")
+    )
+
+
+def tf_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(term, doc_id, tf) — the positional-index aggregate (B1/B2)."""
+    return (
+        tokens_with_pos(docs, text_col, id_col)
+        .groupBy("term", id_col)
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def doc_weight_table(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, weight, doc_len): L_d = sqrt(sum (1+ln tf)^2) (B3)."""
+    return tf.groupBy(id_col).agg(
+        F.round(
+            F.sqrt(F.sum(F.pow(F.lit(1.0) + F.log("tf"), F.lit(2.0)))), 6
+        ).alias("weight"),
+        F.sum("tf").cast("long").alias("doc_len"),
+    )
+
+
+def term_stats(tf: DataFrame) -> DataFrame:
+    """(term, df, cf) — the dictionary aggregate (B4/B8)."""
+    return tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
+    )
+
+
+def ranked_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Term-at-a-time tf-idf top-k (Q9/Q10): (doc_id, score).
+
+    wqt = ln(1 + N/df), wdt = 1 + ln tf, score = sum(wqt*wdt)/L_d;
+    ties break on smaller doc_id (``diskindex.py:98-99``). The plan is
+    broadcast(query terms) |><| tf -> partial-agg sum -> join doc
+    weights -> TakeOrderedAndProject. Scores rounded to 6 dp for
+    engine-portable comparison.
+    """
+    spark = docs.sparkSession
+    n_docs = docs.count()
+    tf = tf_table(docs, text_col, id_col)
+    weights = doc_weight_table(tf, id_col)
+    qdf = spark.createDataFrame([(t,) for t in set(query_terms)], "term string")
+    dfs = term_stats(tf).join(F.broadcast(qdf), "term").select("term", "df")
+    scored = (
+        tf.join(F.broadcast(dfs), "term")
+        .select(
+            id_col,
+            (
+                F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df"))
+                * (F.lit(1.0) + F.log("tf"))
+            ).alias("partial"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("partial").alias("acc"))
+        .join(weights.select(id_col, "weight"), id_col)
+        .select(id_col, F.round(F.col("acc") / F.col("weight"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def docs_with_all(
+    docs: DataFrame, terms: list[str], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """AND of single-term conjuncts (Q6): docs containing every term."""
+    tok = tokens_with_pos(docs, text_col, id_col)
+    qdf = docs.sparkSession.createDataFrame([(t,) for t in set(terms)], "term string")
+    return (
+        tok.join(F.broadcast(qdf), "term")
+        .groupBy(id_col)
+        .agg(F.count_distinct("term").alias("nt"))
+        .where(F.col("nt") == len(set(terms)))
+        .select(id_col)
+    )
+
+
+def docs_with_any(
+    docs: DataFrame, terms: list[str], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """OR across terms (Q7): docs containing any term, deduped."""
+    tok = tokens_with_pos(docs, text_col, id_col)
+    qdf = docs.sparkSession.createDataFrame([(t,) for t in set(terms)], "term string")
+    return tok.join(F.broadcast(qdf), "term").select(id_col).distinct()
+
+
+def boolean_or_of_ands(
+    docs: DataFrame,
+    literals: list[list[str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reference boolean grammar shape (Q1/Q2): OR of AND-literals."""
+    parts = [docs_with_all(docs, lit, text_col, id_col) for lit in literals]
+    return reduce(DataFrame.union, parts).distinct()
+
+
+def phrase_match(
+    docs: DataFrame, phrase_terms: list[str], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs where the terms appear at consecutive positions (Q8).
+
+    The reference's shift-and-intersect (``query.py:150-156``) as a
+    positional self-join: term_i at pos p matches term_0 at p-i.
+    """
+    tok = tokens_with_pos(docs, text_col, id_col)
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(phrase_terms)], "term string, slot int"
+    )
+    hits = tok.join(F.broadcast(qdf), "term").select(
+        id_col, (F.col("pos") - F.col("slot")).alias("anchor"), "slot"
+    )
+    return (
+        hits.groupBy(id_col, "anchor")
+        .agg(F.count_distinct("slot").alias("ns"))
+        .where(F.col("ns") == len(phrase_terms))
+        .select(id_col)
+        .distinct()
+    )
+
+
+def vocab_kgrams(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(word, gram): all 1..k-grams of ``$word$`` per distinct token —
+    the k-gram index (B9) as pure JVM ``sequence``+``transform``."""
+    vocab = tokens_with_pos(docs, text_col, id_col).select(
+        F.col("term").alias("word")
+    ).distinct()
+    wrapped = F.concat(F.lit("$"), F.col("word"), F.lit("$"))
+    grams = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(k)),
+                lambda n: F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(wrapped)),
+                        lambda i: wrapped.substr(i, n),
+                    ),
+                    lambda g: F.length(g) == n,
+                ),
+            )
+        )
+    )
+    return vocab.select("word", F.explode(grams).alias("gram"))
+
+
+def wildcard_vocab(
+    docs: DataFrame, pattern: str, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Vocab words matching a wildcard via k-gram containment (Q11).
+
+    Reference parity: NO post-filter against the pattern — a word
+    matches iff it contains every gram of the pattern.
+    """
+    grams = sorted(wildcard_grams(pattern, k))
+    kg = vocab_kgrams(docs, k, text_col, id_col)
+    gdf = docs.sparkSession.createDataFrame([(g,) for g in grams], "gram string")
+    return (
+        kg.join(F.broadcast(gdf), "gram")
+        .groupBy("word")
+        .agg(F.count_distinct("gram").alias("ng"))
+        .where(F.col("ng") == len(grams))
+        .select("word")
+    )
+
+
+def spelling_candidates(
+    docs: DataFrame,
+    qword: str,
+    max_dist: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(word, dist, df): vocab words within ``max_dist`` edits (Q14/Q18
+    via the built-in codegen'd ``levenshtein``), with doc frequency for
+    the reference's best-pick tie-break (Q15)."""
+    tf = tf_table(docs, text_col, id_col)
+    stats = term_stats(tf)
+    return (
+        stats.select(F.col("term").alias("word"), "df")
+        .withColumn("dist", F.levenshtein(F.col("word"), F.lit(qword)).cast("int"))
+        .where(F.col("dist") <= max_dist)
+        .select("word", "dist", "df")
+    )
