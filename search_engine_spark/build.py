@@ -202,7 +202,15 @@ class IndexBuilder:
     # -- internals -------------------------------------------------------------
     def _build_chunk(self, docs_chunk: DataFrame, chunk: int) -> dict:
         t0 = time.time()
-        tf = term_doc_tf(docs_chunk)
+        # Tokenize ONCE: tf table AND k-gram vocabulary both derive from
+        # the cached token table, so the (expensive) analyzer UDF runs a
+        # single pass over the chunk.
+        tokens = _tokens(docs_chunk)
+        tokens.persist(StorageLevel.MEMORY_AND_DISK)
+        tf = tokens.groupBy("term", "doc_id").agg(
+            F.count("*").cast("int").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
         tf.persist(StorageLevel.MEMORY_AND_DISK)
 
         stats = doc_weights(tf)
@@ -220,9 +228,10 @@ class IndexBuilder:
 
         # unstemmed vocabulary for the k-gram index (reference adds the
         # specials-stripped word BEFORE stemming, memoryindex.py:32-33)
-        vocab = _tokens(docs_chunk).select(F.col("raw").alias("word")).distinct()
+        vocab = tokens.select(F.col("raw").alias("word")).distinct()
         vocab.write.mode("overwrite").parquet(self._p("vocab_chunks", f"chunk={chunk}"))
         tf.unpersist()
+        tokens.unpersist()
 
         agg = self.spark.read.parquet(self._p("postings", f"chunk={chunk}")).agg(
             F.count("*").alias("rows"),

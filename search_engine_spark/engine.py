@@ -23,8 +23,8 @@ import os
 import re
 import shlex
 from collections import Counter
-from functools import reduce
 from math import log
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,14 +48,35 @@ class TranscriptSearchEngine:
         self.num_docs: int = meta["num_docs"]
         self.block_span: int = meta["block_span"]
         p = lambda name: os.path.join(index_dir, name)  # noqa: E731
-        self.postings = spark.read.parquet(p("postings"))
-        self.terms = spark.read.parquet(p("terms"))
-        self.doc_stats = spark.read.parquet(p("doc_stats"))
-        self.kgrams = spark.read.parquet(p("kgrams"))
-        self.docs = spark.read.parquet(p("docs"))
-        if cache:
-            for df in (self.postings, self.terms, self.doc_stats, self.kgrams):
+
+        def load(name: str):
+            """Read an index table, right-sized for caching.
+
+            Partition count scales with on-disk bytes (1 per 32 MB,
+            capped at shuffle.partitions): a small index collapses to a
+            handful of cached partitions so query stages schedule a
+            handful of tasks, while a 100 TB index keeps full
+            parallelism. Tasks per stage, not bytes, dominate latency
+            at the small end.
+            """
+            df = spark.read.parquet(p(name))
+            if cache:
+                limit = int(spark.conf.get("spark.sql.shuffle.partitions"))
+                nbytes = sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for root, _d, files in os.walk(p(name))
+                    for f in files
+                )
+                parts = max(1, min(limit, nbytes // (32 << 20) + 1))
+                df = df.coalesce(int(parts))
                 df.persist(StorageLevel.MEMORY_AND_DISK)
+            return df
+
+        self.postings = load("postings")
+        self.terms = load("terms")
+        self.doc_stats = load("doc_stats")
+        self.kgrams = load("kgrams")
+        self.docs = spark.read.parquet(p("docs"))
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -99,7 +120,9 @@ class TranscriptSearchEngine:
             return empty
         counts = Counter(terms)
         # df lookup for wqt — one tiny broadcast-join job (the reference's
-        # dictionary point lookups, query.py:80)
+        # dictionary point lookups, query.py:80); its result is a handful
+        # of floats, so folding them into the scoring plan as literals
+        # keeps the main job to two stages (decode+explode, agg+top-k).
         qdf = spark.createDataFrame(
             [(t, m) for t, m in counts.items()], "term string, mult int"
         )
@@ -122,10 +145,16 @@ class TranscriptSearchEngine:
                 (F.col("wqt") * (F.lit(1.0) + F.log(F.col("p.tfs")))).alias("partial"),
             )
         )
+        # doc_stats join: broadcast while the per-doc stats table is small
+        # enough (one row per doc — fine up to ~10^6 docs), shuffle-join
+        # beyond that. num_docs is known from the index metadata.
+        stats = self.doc_stats.select("doc_id", "weight")
+        if self.num_docs <= 1_000_000:
+            stats = F.broadcast(stats)
         return (
             decoded.groupBy("doc_id")
             .agg(F.sum("partial").alias("acc"))
-            .join(self.doc_stats.select("doc_id", "weight"), "doc_id")
+            .join(stats, "doc_id")
             .select("doc_id", (F.col("acc") / F.col("weight")).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
@@ -151,32 +180,52 @@ class TranscriptSearchEngine:
         except ValueError:
             conjuncts = [literal]
         parts: list[DataFrame] = []
+        single_terms: list[str] = []
         for conjunct in conjuncts:
             words = conjunct.split()
             wildcards = [w for w in words if "*" in w]
             if wildcards:
                 # reference parity (query.py:103-113): each wildcard term
-                # contributes an OR-of-expansions doc set; EMPTY results are
-                # silently dropped from the AND; non-wildcard words in the
-                # same conjunct are ignored.
+                # contributes an OR-of-expansions doc set; EMPTY expansions
+                # are silently dropped from the AND; non-wildcard words in
+                # the same conjunct are ignored. Every expanded vocab word
+                # came from the corpus, so its stem has postings — no
+                # emptiness re-check needed.
                 for w in wildcards:
                     expansion = self.wildcard_expand(w.lower())
                     if not expansion:
                         continue
-                    sub = self._any_term_df(
-                        [query_normalize(x) for x in expansion]
-                    ).persist()
-                    if sub.limit(1).count():
-                        parts.append(sub)
+                    parts.append(
+                        self._any_term_df([query_normalize(x) for x in expansion])
+                    )
                 continue
             terms = [query_normalize(w) for w in words]
             if len(terms) > 1:
                 parts.append(self._phrase_df(terms))
             elif terms:
-                parts.append(self._any_term_df(terms))
+                single_terms.append(terms[0])
+        if single_terms:
+            # ALL single-term conjuncts resolve in ONE decode pass:
+            # docs containing every term via count_distinct == n (Q6 as a
+            # single aggregation, not a join chain — one shuffle total).
+            parts.insert(0, self._all_terms_df(single_terms))
         if not parts:
             return None
         return reduce(lambda a, b: a.join(b, "doc_id"), parts)
+
+    def _all_terms_df(self, terms: list[str]) -> DataFrame:
+        """Docs containing ALL of ``terms`` in one decode + aggregate."""
+        uniq = sorted(set(terms))
+        qdf = self.spark.createDataFrame([(t,) for t in uniq], "term string")
+        return (
+            self.postings.join(F.broadcast(qdf), "term")
+            .withColumn("d", decode_doc_tfs_udf("postings_bin"))
+            .select("term", F.explode("d.doc_ids").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("nt"))
+            .where(F.col("nt") == len(uniq))
+            .select("doc_id")
+        )
 
     def _any_term_df(self, terms: list[str]) -> DataFrame:
         """Docs containing ANY of ``terms`` (OR within, used for single

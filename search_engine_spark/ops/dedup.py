@@ -96,7 +96,15 @@ def minhash_signatures(
     One explode + one groupBy; the permutations are n aggregate
     expressions over the same exploded rows (not n passes).
     """
-    sh = shingles(df, text_col, id_col, k).withColumn("h", h31("shingle"))
+    return minhash_signatures_from_shingles(
+        shingles(df, text_col, id_col, k), id_col, n_hashes
+    )
+
+
+def minhash_signatures_from_shingles(
+    shingle_df: DataFrame, id_col: str = "doc_id", n_hashes: int = DEFAULT_N_HASHES
+) -> DataFrame:
+    sh = shingle_df.withColumn("h", h31("shingle"))
     aggs = []
     for i in range(n_hashes):
         a, b = perm_ab(i)
@@ -172,6 +180,7 @@ def jaccard_verify(
     (id_a, id_b, n_a, n_b, n_common, jaccard). Joins only the candidate
     pairs' shingle sets (never all-pairs); both joins shuffle on doc id.
     """
+    pairs = pairs.localCheckpoint()  # consumed by the common-join AND the left join
     sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n"))
     common = (
         pairs.join(
@@ -218,9 +227,13 @@ def minhash_near_dup_pairs(
     ``threshold``. Linear in corpus size (plus candidate volume); the
     scalable path for 10^12-doc dedup.
     """
-    sh = shingles(df, text_col, id_col, k)
-    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes)
-    cands = lsh_candidate_pairs(minhash_bands(sigs, id_col, n_hashes, bands), id_col)
+    # The shingle and band tables each feed multiple joins (self-join
+    # sides + the verifier); localCheckpoint materializes them once so
+    # the explode/groupBy subtrees don't re-execute per consumer.
+    sh = shingles(df, text_col, id_col, k).localCheckpoint()
+    sigs = minhash_signatures_from_shingles(sh, id_col, n_hashes)
+    bands_df = minhash_bands(sigs, id_col, n_hashes, bands).localCheckpoint()
+    cands = lsh_candidate_pairs(bands_df, id_col)
     return jaccard_verify(cands, sh, id_col).where(F.col("jaccard") >= threshold)
 
 
@@ -239,7 +252,7 @@ def ngram_jaccard_pairs(
     Jaccard. Quadratic in per-shingle doc frequency — ``max_shingle_df``
     bounds that; use :func:`minhash_near_dup_pairs` at full scale.
     """
-    sh = shingles(df, text_col, id_col, k)
+    sh = shingles(df, text_col, id_col, k).localCheckpoint()
     sh_rare = sh.join(
         sh.groupBy("shingle").agg(F.count("*").alias("sdf")), "shingle"
     ).where(F.col("sdf") <= max_shingle_df)
@@ -301,7 +314,8 @@ def simhash_near_dup_pairs(
     """
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << chunk_bits) - 1
-    sh = simhash_table(df, text_col, id_col)
+    # the sketch table feeds both sides of the chunk self-join
+    sh = simhash_table(df, text_col, id_col).localCheckpoint()
     chunks = sh.select(
         id_col,
         "simhash",

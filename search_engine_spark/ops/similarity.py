@@ -191,7 +191,9 @@ def embedding_near_dup_pairs_lsh(
     Same bucket-join-verify shape as MinHash-LSH dedup; linear in n for
     non-degenerate bucket sizes.
     """
-    bk = lsh_bucketed(embeddings, n_planes, n_tables, seed, id_col, vec_col)
+    bk = lsh_bucketed(
+        embeddings, n_planes, n_tables, seed, id_col, vec_col
+    ).localCheckpoint()  # feeds both sides of the bucket self-join
     a = bk.select(
         "table", "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
