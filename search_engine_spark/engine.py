@@ -96,9 +96,132 @@ class TranscriptSearchEngine:
         terms = self._ranked_terms(query)
         return self._score_terms_df(terms, k)
 
-    def ranked_query(self, query: str, k: int = DEFAULT_K) -> list[tuple[int, float]]:
+    def ranked_query(
+        self, query: str, k: int = DEFAULT_K, pruned: bool = False
+    ) -> list[tuple[int, float]]:
+        """Top-k ranked retrieval. ``pruned=True`` uses block-max WAND
+        pruning — provably rank-identical, decodes fewer posting blocks
+        (``tests/test_wand.py`` asserts equality vs exhaustive)."""
+        if pruned:
+            return self.ranked_query_wand(query, k)
         df = self.ranked_query_df(query, k)
         return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+    # -------------------------------------------------------- block-max WAND
+    def ranked_query_wand(self, query: str, k: int = DEFAULT_K) -> list[tuple[int, float]]:
+        """Block-max WAND top-k: rank-identical to exhaustive scoring.
+
+        Postings are stored per (term, doc-range block) with
+        ``max_partial`` = max over the block of (1+ln tf)/L_d
+        (``build.py::block_postings``). Since a doc's terms all live in
+        the doc's own block range, the per-block score upper bound is
+
+            ub(b) = sum over query terms t present in b of wqt_t * max_partial_{t,b}
+
+        The driver fetches the tiny (term, block, max_partial, df_block)
+        metadata — never the posting bytes (Catalyst prunes the binary
+        columns from the scan) — then:
+
+        1. exactly scores the most promising blocks (greedy by ub until
+           >= 4k candidate postings are covered),
+        2. takes the running k-th score L as a threshold,
+        3. exactly scores any remaining block with ub >= L (a pruned
+           block cannot contain a doc with score > L, nor a score == L
+           tie, because ties break on doc_id only among EQUAL scores and
+           ub >= score for every doc in the block),
+        4. repeats (at most once in practice) until no unscored block's
+           ub reaches the current k-th score.
+
+        Each round's exact scoring is the same DataFrame plan as the
+        exhaustive path, restricted by a broadcast (term, block_id)
+        filter — so correctness reduces to the threshold argument above.
+        """
+        terms = self._ranked_terms(query)
+        if not terms:
+            return []
+        counts = Counter(terms)
+        qdf = self.spark.createDataFrame(
+            [(t, m) for t, m in counts.items()], "term string, mult int"
+        )
+        meta = (
+            self.postings.join(F.broadcast(qdf), "term")
+            .select("term", "block_id", "max_partial", "df_block")
+            .collect()
+        )
+        if not meta:
+            return []
+        df_rows = self.terms.join(F.broadcast(qdf), "term").select("term", "df").collect()
+        dfs = {r["term"]: r["df"] for r in df_rows}
+        wqt = {
+            t: float(m * log(1 + self.num_docs / dfs[t]))
+            for t, m in counts.items()
+            if dfs.get(t)
+        }
+        # per-block upper bound and posting volume
+        blocks: dict[int, dict] = {}
+        for r in meta:
+            if r["term"] not in wqt:
+                continue
+            b = blocks.setdefault(r["block_id"], {"ub": 0.0, "n": 0, "pairs": []})
+            b["ub"] += wqt[r["term"]] * r["max_partial"]
+            b["n"] += r["df_block"]
+            b["pairs"].append((r["term"], r["block_id"]))
+        if not blocks:
+            return []
+        order = sorted(blocks, key=lambda b: (-blocks[b]["ub"], b))
+
+        scored: dict[int, float] = {}
+        remaining = list(order)
+        top: list[tuple[int, float]] = []
+        threshold = float("-inf")
+        while remaining:
+            if len(top) == k:
+                # prune strictly-below-threshold blocks; keep ub == L blocks
+                # (they could still produce a doc_id-tie-winning equal score)
+                remaining = [b for b in remaining if blocks[b]["ub"] >= threshold]
+                if not remaining:
+                    break
+            batch, volume = [], 0
+            while remaining and volume < 4 * k:
+                b = remaining.pop(0)
+                batch.append(b)
+                volume += blocks[b]["n"]
+            pairs = [p for b in batch for p in blocks[b]["pairs"]]
+            for doc_id, score in self._score_blocks(pairs, wqt):
+                scored[doc_id] = score
+            top = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
+            if len(top) == k:
+                threshold = top[-1][1]
+        return top
+
+    def _score_blocks(
+        self, pairs: list[tuple[str, int]], wqt: dict[str, float]
+    ) -> list[tuple[int, float]]:
+        """Exact scores for docs in the given (term, block_id) cells."""
+        spark = self.spark
+        pdf = spark.createDataFrame(
+            [(t, b, wqt[t]) for t, b in pairs], "term string, block_id long, wqt double"
+        )
+        decoded = (
+            self.postings.join(F.broadcast(pdf), ["term", "block_id"])
+            .withColumn("d", decode_doc_tfs_udf("postings_bin"))
+            .select("wqt", F.explode(F.arrays_zip("d.doc_ids", "d.tfs")).alias("p"))
+            .select(
+                F.col("p.doc_ids").alias("doc_id"),
+                (F.col("wqt") * (F.lit(1.0) + F.log(F.col("p.tfs")))).alias("partial"),
+            )
+        )
+        stats = self.doc_stats.select("doc_id", "weight")
+        if self.num_docs <= 1_000_000:
+            stats = F.broadcast(stats)
+        rows = (
+            decoded.groupBy("doc_id")
+            .agg(F.sum("partial").alias("acc"))
+            .join(stats, "doc_id")
+            .select("doc_id", (F.col("acc") / F.col("weight")).alias("score"))
+            .collect()
+        )
+        return [(r["doc_id"], r["score"]) for r in rows]
 
     def _ranked_terms(self, query: str) -> list[str]:
         """Normalized query term list, wildcards expanded, duplicates kept

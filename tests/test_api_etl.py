@@ -1,0 +1,83 @@
+"""Tests for the service facade (api.py) and ETL sources (sources/etl.py)."""
+
+import pytest
+
+from search_engine_spark.api import SearchService
+from search_engine_spark.fixtures import golden_transcripts
+from search_engine_spark.sources.etl import scripts_to_docs, split_json_array
+
+
+@pytest.fixture(scope="module")
+def service(spark, tmp_path_factory):
+    svc = SearchService(spark)
+    index_dir = str(tmp_path_factory.mktemp("api") / "index")
+    svc.buildindex(golden_transcripts(spark), index_dir)
+    return svc
+
+
+def test_buildindex_summary(service):
+    assert service.engine.num_docs == 5
+    assert "test" in service.vocab and "document" in service.vocab
+
+
+def test_query_boolean(service):
+    out = service.query('"third one"', ranked=False)
+    assert out["doc_ids"] == [2]
+    assert out["contents"][2]["text"] == "Here we go, a third one."
+    assert out["scores"] == []
+
+
+def test_query_ranked(service):
+    out = service.query("test", ranked=True)
+    assert out["ranked"] and out["doc_ids"][0][0] == 3
+    assert len(out["scores"]) == len(out["doc_ids"])
+
+
+def test_query_spell_corrected(service):
+    out = service.query("tesst", ranked=True)
+    assert out["spell_corrected"] == "test"
+
+
+def test_showterms_groups(service):
+    groups = service.showterms()["vocab"]
+    assert "test" in groups["t"]
+    assert "" not in groups  # empty term dropped (searchengine.py:66)
+
+
+def test_stem_endpoint(service):
+    assert service.stem_term("Testing") == {
+        "term": "Testing",
+        "stemmed_term": "test",
+    }
+
+
+# ------------------------------------------------------------------- sources
+def test_split_json_array(spark):
+    df = spark.createDataFrame(
+        [([{"body": "a"}, {"body": "b"}],)],
+        "data array<struct<body:string>>",
+    )
+    rows = split_json_array(df, "data").collect()
+    assert [(r["doc_seq"], r["body"]) for r in rows] == [(1, "a"), (2, "b")]
+
+
+def test_scripts_to_docs(spark):
+    raw = spark.createDataFrame(
+        [
+            ("The Title\nBack to IMSDb\nINT. ROOM</b> - DAY", "drama"),
+            ("Other<script>\nfor educational use only text", "comedy"),
+        ],
+        "raw_text string, genre string",
+    )
+    docs = {r["title"]: r for r in scripts_to_docs(raw).collect()}
+    assert docs["The Title"]["genre"] == "drama"
+    assert "Back to IMSDb" not in docs["The Title"]["body"]
+    assert "</b>" not in docs["The Title"]["body"]
+    assert "<script>" not in docs["Other"]["body"]
+
+
+def test_scripts_cap(spark):
+    raw = spark.createDataFrame(
+        [(f"t{i}\nbody", "g") for i in range(10)], "raw_text string, genre string"
+    )
+    assert scripts_to_docs(raw, cap=4).count() == 4

@@ -1,0 +1,41 @@
+"""Block-max WAND pruning must be rank-identical to exhaustive scoring."""
+
+import pytest
+
+from search_engine_spark.engine import TranscriptSearchEngine
+from search_engine_spark.fixtures import synthetic_transcripts
+
+QUERIES = [
+    "test",
+    "spark index fast",
+    "document data",
+    "conspicuous",       # rare term
+    "test nosuchterm",   # partial miss
+    "nosuchterm",        # total miss
+    "the test data spark index query",  # many terms incl. hot
+]
+
+
+@pytest.fixture(scope="module")
+def wand_engine(spark, tmp_path_factory):
+    """Index over 400 synthetic turns with block_span=16 -> ~25 blocks
+    per hot term, so pruning actually has blocks to skip."""
+    index_dir = str(tmp_path_factory.mktemp("wand") / "index")
+    tr = synthetic_transcripts(spark, n_convs=40, turns_per_conv=10)
+    return TranscriptSearchEngine.build(spark, tr, index_dir, block_span=16)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_rank_identical(wand_engine, query):
+    exhaustive = wand_engine.ranked_query(query, k=10)
+    pruned = wand_engine.ranked_query(query, k=10, pruned=True)
+    assert [d for d, _ in pruned] == [d for d, _ in exhaustive]
+    for (_, a), (_, b) in zip(pruned, exhaustive):
+        assert a == pytest.approx(b, abs=1e-12)
+
+
+def test_wand_k_variants(wand_engine):
+    for k in (1, 3, 25, 1000):
+        exhaustive = wand_engine.ranked_query("test spark data", k=k)
+        pruned = wand_engine.ranked_query("test spark data", k=k, pruned=True)
+        assert [d for d, _ in pruned] == [d for d, _ in exhaustive]
