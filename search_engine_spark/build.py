@@ -3,11 +3,11 @@
 Spark-first re-expression of the reference's SPIMI build
 (reference ``diskindex.py:130-260``):
 
-* tokenize/normalize: one Arrow-batched pandas UDF (``analyze_udf``)
-* positional postings: ``groupBy(term, doc_id)`` — Spark's sort-based
-  shuffle-with-spill subsumes SPIMI block flush/merge (``diskindex.py:187-260``)
-* doc weights: ``groupBy(doc_id)`` aggregate of ``sqrt(sum((1+ln tf)^2))``
-  (``diskindex.py:302-306``)
+* tokenize/normalize/per-doc aggregate: one Arrow-batched pandas UDF
+  (``analyze_doc_udf``) — tf entries, vocabulary and doc weights
+  (``diskindex.py:302-306``) all map-side, so the build's only shuffle
+  is the term partitioning (Spark's sort-based shuffle-with-spill
+  subsumes SPIMI block flush/merge, ``diskindex.py:187-260``)
 * postings are stored per (term, doc-range block): the block span both
   bounds per-key shuffle payload for hot terms (the salted two-phase
   groupBy — salt = doc range, so blocks stay doc-ordered and delta
@@ -40,14 +40,27 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from search_engine_spark.functions.udfs import (
+    analyze_doc_udf,
     analyze_udf,
     encode_positions_udf,
     encode_postings_udf,
+    encode_weights_udf,
     kgrams_udf,
 )
 from search_engine_spark.operators.docids import with_doc_ids
 
-DEFAULT_BLOCK_SPAN = 1 << 20  # docs per posting block (doc-range salt)
+# Docs per posting block — the doc-range salt. This bounds (a) the
+# collect_list payload per (term, block) group in the build shuffle and
+# (b) the decode/explode unit at query time, so a hot term (a stopword
+# present in every doc) fans out across corpus_size/BLOCK_SPAN tasks
+# instead of landing on one reducer. 64k docs/block keeps the worst
+# group ~hundreds of KB encoded while the per-term metadata stays tiny
+# (10^12 turns -> ~15k blocks per hot term).
+DEFAULT_BLOCK_SPAN = 1 << 16
+
+# Bump whenever the on-disk table layout changes (readers refuse
+# mismatched indexes instead of failing mid-query).
+FORMAT_VERSION = 2
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -110,6 +123,11 @@ def block_postings(tf_with_weight: DataFrame, block_span: int) -> DataFrame:
             F.transform("pl", lambda x: (F.lit(1.0) + F.log(x["tf"])) / x["weight"])
         ).alias("max_partial"),
         encode_postings_udf(doc_ids, tfs).alias("postings_bin"),
+        # per-posting L_d inline (raw float64): ranked scoring reads it
+        # from the block instead of shuffling doc_stats per query
+        encode_weights_udf(F.transform("pl", lambda x: x["weight"])).alias(
+            "weights_bin"
+        ),
         encode_positions_udf(
             tfs, F.flatten(F.transform("pl", lambda x: x["positions"]))
         ).alias("positions_bin"),
@@ -154,6 +172,7 @@ class IndexBuilder:
         k-way block merge achieves, ``diskindex.py:219-260``).
         """
         t0 = time.time()
+        phases: dict[str, float] = {}
         if not resume and os.path.exists(self.index_dir):
             shutil.rmtree(self.index_dir)
         os.makedirs(self._p("manifest"), exist_ok=True)
@@ -164,6 +183,7 @@ class IndexBuilder:
         docs = self.spark.read.parquet(self._p("docs"))
         docs.persist(StorageLevel.MEMORY_AND_DISK)
         num_docs = docs.count()
+        phases["doc_ids"] = time.time() - t0
 
         chunk_docs = chunk_docs or max(num_docs, 1)
         n_chunks = math.ceil(num_docs / chunk_docs) if num_docs else 1
@@ -183,10 +203,13 @@ class IndexBuilder:
             os.replace(manifest_path + ".tmp", manifest_path)  # atomic commit
             chunk_metrics.append(metrics)
 
+        t_fin = time.time()
         self._finalize(num_docs)
+        phases["finalize"] = time.time() - t_fin
         docs.unpersist()
         wall = time.time() - t0
         totals = {
+            "phases": phases,
             "num_docs": num_docs,
             "n_chunks": n_chunks,
             "posting_rows": sum(m["posting_rows"] for m in chunk_metrics),
@@ -202,22 +225,29 @@ class IndexBuilder:
     # -- internals -------------------------------------------------------------
     def _build_chunk(self, docs_chunk: DataFrame, chunk: int) -> dict:
         t0 = time.time()
-        # Tokenize ONCE: tf table AND k-gram vocabulary both derive from
-        # the cached token table, so the (expensive) analyzer UDF runs a
-        # single pass over the chunk.
-        tokens = _tokens(docs_chunk)
-        tokens.persist(StorageLevel.MEMORY_AND_DISK)
-        tf = tokens.groupBy("term", "doc_id").agg(
-            F.count("*").cast("int").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
+        # Analyze ONCE, aggregated per doc inside the UDF: tf entries,
+        # vocabulary words, and the doc weight all come out of a single
+        # map-side Arrow pass — the only shuffle left in the chunk build
+        # is the term-partitioning one (the actual SPIMI merge,
+        # diskindex.py:219-260).
+        analyzed = docs_chunk.select(
+            "doc_id", analyze_doc_udf("text").alias("a")
+        ).select("doc_id", "a.postings", "a.words", "a.weight", "a.doc_len")
+        analyzed.persist(StorageLevel.MEMORY_AND_DISK)
+
+        t1 = time.time()
+        stats = analyzed.select(
+            "doc_id",
+            "weight",
+            F.col("doc_len").cast("long").alias("doc_len"),
+            F.size("postings").cast("long").alias("n_terms"),
         )
-        tf.persist(StorageLevel.MEMORY_AND_DISK)
-
-        stats = doc_weights(tf)
         stats.write.mode("overwrite").parquet(self._p("doc_stats", f"chunk={chunk}"))
-        stats = self.spark.read.parquet(self._p("doc_stats", f"chunk={chunk}"))
+        t2 = time.time()
 
-        tf_w = tf.join(stats.select("doc_id", "weight"), "doc_id")
+        tf_w = analyzed.select(
+            "doc_id", "weight", F.explode("postings").alias("p")
+        ).select("doc_id", "p.term", "p.tf", "p.positions", "weight")
         postings = block_postings(tf_w, self.block_span)
         (
             postings.repartition(self.write_partitions, "term")
@@ -225,13 +255,14 @@ class IndexBuilder:
             .write.mode("overwrite")
             .parquet(self._p("postings", f"chunk={chunk}"))
         )
+        t3 = time.time()
 
         # unstemmed vocabulary for the k-gram index (reference adds the
         # specials-stripped word BEFORE stemming, memoryindex.py:32-33)
-        vocab = tokens.select(F.col("raw").alias("word")).distinct()
+        vocab = analyzed.select(F.explode("words").alias("word")).distinct()
         vocab.write.mode("overwrite").parquet(self._p("vocab_chunks", f"chunk={chunk}"))
-        tf.unpersist()
-        tokens.unpersist()
+        t4 = time.time()
+        analyzed.unpersist()
 
         agg = self.spark.read.parquet(self._p("postings", f"chunk={chunk}")).agg(
             F.count("*").alias("rows"),
@@ -246,6 +277,12 @@ class IndexBuilder:
             "posting_bytes": int(agg["bytes"]),
             "tf_rows": int(agg["tf_rows"]),
             "secs": time.time() - t0,
+            "phases": {
+                "tf_and_stats": round(t2 - t1, 2),
+                "postings": round(t3 - t2, 2),
+                "vocab": round(t4 - t3, 2),
+                "metrics_agg": round(time.time() - t4, 2),
+            },
         }
 
     def _finalize(self, num_docs: int) -> None:
@@ -279,7 +316,7 @@ class IndexBuilder:
                 {
                     "num_docs": num_docs,
                     "block_span": self.block_span,
-                    "format_version": 1,
+                    "format_version": FORMAT_VERSION,
                 },
                 f,
             )

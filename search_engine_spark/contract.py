@@ -288,9 +288,18 @@ def _engine_ranked(spark: SparkSession, sf: str) -> DataFrame:
         spark.sparkContext.addPyFile(package_zip())
     except Exception:
         pass  # already added to this context
+    import json as _json
+
+    from search_engine_spark.build import FORMAT_VERSION
+
     tag = hashlib.md5(sf.encode()).hexdigest()[:8]
     index_dir = f"/tmp/se_contract_index_{tag}"
-    if not os.path.exists(os.path.join(index_dir, "_meta.json")):
+    meta_path = os.path.join(index_dir, "_meta.json")
+    stale = True
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            stale = _json.load(f).get("format_version") != FORMAT_VERSION
+    if stale:
         TranscriptSearchEngine.build(
             spark, documents_as_transcripts(_doc(spark, sf)), index_dir
         )

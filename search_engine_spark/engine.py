@@ -26,17 +26,110 @@ from collections import Counter
 from math import log
 from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from search_engine_spark.build import IndexBuilder
-from search_engine_spark.functions.udfs import decode_doc_tfs_udf, decode_full_udf
+from search_engine_spark.functions import codec
 from search_engine_spark.text.kgrams import kgrams, wildcard_grams
 from search_engine_spark.text.normalize import query_normalize, remove_special_characters
 
 JACCARD_THRESHOLD = 0.35  # reference query.py:14
 DEFAULT_K = 10  # reference query.py:25
+
+
+def _block_scorer(k: int | None):
+    """Per-block exhaustive scorer for ``applyInPandas``.
+
+    Input rows: one per (query term, this block) with wqt, qidx and the
+    encoded postings/weights. Output: (doc_id, score) for the block —
+    the block's top-k when ``k`` is set (tie-break doc_id asc, matching
+    ``diskindex.py:98-99``), or every scored doc when ``k`` is None
+    (the WAND exact-scoring path needs full candidate scores).
+    """
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["qidx"].to_numpy(), kind="stable")
+        doc_parts, partial_parts, weight_parts = [], [], []
+        for i in order:
+            d, t = codec.decode_postings(bytes(pdf["postings_bin"].iloc[i]))
+            w = np.frombuffer(bytes(pdf["weights_bin"].iloc[i]), dtype="<f8")
+            doc_parts.append(d)
+            partial_parts.append(pdf["wqt"].iloc[i] * (1.0 + np.log(t)))
+            weight_parts.append(w)
+        docs = np.concatenate(doc_parts)
+        partials = np.concatenate(partial_parts)
+        weights = np.concatenate(weight_parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        acc = np.zeros(uniq.size)
+        np.add.at(acc, inv, partials)  # sequential adds in qidx order
+        ld = np.empty(uniq.size)
+        ld[inv] = weights  # every occurrence carries the same L_d
+        scores = acc / ld
+        idx = np.lexsort((uniq, -scores))  # score desc, doc_id asc
+        if k is not None:
+            idx = idx[:k]
+        return pd.DataFrame({"doc_id": uniq[idx], "score": scores[idx]})
+
+    return score
+
+
+def _block_set_op(n_required: int | None):
+    """Per-block boolean doc-set worker: AND of all ``n_required``
+    distinct terms (``utils.py:33-51``) or, when None, OR across
+    whatever terms are present (``utils.py:54-92``)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs: dict[object, np.ndarray] = {}
+        for term, blob in zip(pdf["term"], pdf["postings_bin"]):
+            d, _ = codec.decode_postings(bytes(blob))
+            arrs[term] = d
+        if n_required is None:
+            out = np.unique(np.concatenate(list(arrs.values())))
+        elif len(arrs) < n_required:
+            out = np.empty(0, dtype=np.int64)
+        else:
+            out = reduce(np.intersect1d, arrs.values())
+        return pd.DataFrame({"doc_id": out})
+
+    return run
+
+
+def _block_phrase(n_slots: int, block_span: int):
+    """Per-block positional phrase matcher.
+
+    Reference semantics (``query.py:143-160``): shift slot i's positions
+    by -i, docs where every slot shares a shifted position match. Within
+    a block, encode each (doc, shifted position) pair as one int64 key
+    ``(doc_id - block_base) * 2^33 + shifted + n_slots`` (block-local
+    doc offset < block_span <= 2^30, shifted + n >= 0 and < 2^33), then
+    the phrase docs are the keys surviving an n-way ``np.intersect1d``.
+    Fully vectorized — no per-doc Python loop.
+    """
+
+    def run(key, pdf):
+        base = int(key[0]) * block_span
+        per_slot: dict[int, list[np.ndarray]] = {}
+        for slot, pblob, posblob in zip(
+            pdf["slot"], pdf["postings_bin"], pdf["positions_bin"]
+        ):
+            d, t = codec.decode_postings(bytes(pblob))
+            flat = codec.decode_positions_flat(bytes(posblob), t)
+            comp = (np.repeat(d, t) - base) * np.int64(1 << 33) + (
+                flat - int(slot) + n_slots
+            )
+            per_slot.setdefault(int(slot), []).append(comp)
+        if len(per_slot) < n_slots:
+            return pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64)})
+        arrs = [np.concatenate(v) for v in per_slot.values()]
+        common = reduce(np.intersect1d, arrs)
+        docs = np.unique(common >> np.int64(33)) + base
+        return pd.DataFrame({"doc_id": docs})
+
+    return run
 
 
 class TranscriptSearchEngine:
@@ -45,6 +138,14 @@ class TranscriptSearchEngine:
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "_meta.json")) as f:
             meta = json.load(f)
+        from search_engine_spark.build import FORMAT_VERSION
+
+        if meta.get("format_version") != FORMAT_VERSION:
+            raise ValueError(
+                f"index at {index_dir} has format_version "
+                f"{meta.get('format_version')}, this engine needs "
+                f"{FORMAT_VERSION} — rebuild the index"
+            )
         self.num_docs: int = meta["num_docs"]
         self.block_span: int = meta["block_span"]
         p = lambda name: os.path.join(index_dir, name)  # noqa: E731
@@ -198,27 +299,17 @@ class TranscriptSearchEngine:
         self, pairs: list[tuple[str, int]], wqt: dict[str, float]
     ) -> list[tuple[int, float]]:
         """Exact scores for docs in the given (term, block_id) cells."""
-        spark = self.spark
-        pdf = spark.createDataFrame(
-            [(t, b, wqt[t]) for t, b in pairs], "term string, block_id long, wqt double"
+        qidx = {t: i for i, t in enumerate(wqt)}
+        pdf = self.spark.createDataFrame(
+            [(t, b, qidx[t], wqt[t]) for t, b in pairs],
+            "term string, block_id long, qidx int, wqt double",
         )
-        decoded = (
-            self.postings.join(F.broadcast(pdf), ["term", "block_id"])
-            .withColumn("d", decode_doc_tfs_udf("postings_bin"))
-            .select("wqt", F.explode(F.arrays_zip("d.doc_ids", "d.tfs")).alias("p"))
-            .select(
-                F.col("p.doc_ids").alias("doc_id"),
-                (F.col("wqt") * (F.lit(1.0) + F.log(F.col("p.tfs")))).alias("partial"),
-            )
+        cells = self.postings.join(F.broadcast(pdf), ["term", "block_id"]).select(
+            "block_id", "qidx", "wqt", "postings_bin", "weights_bin"
         )
-        stats = self.doc_stats.select("doc_id", "weight")
-        if self.num_docs <= 1_000_000:
-            stats = F.broadcast(stats)
         rows = (
-            decoded.groupBy("doc_id")
-            .agg(F.sum("partial").alias("acc"))
-            .join(stats, "doc_id")
-            .select("doc_id", (F.col("acc") / F.col("weight")).alias("score"))
+            cells.groupBy("block_id")
+            .applyInPandas(_block_scorer(None), "doc_id long, score double")
             .collect()
         )
         return [(r["doc_id"], r["score"]) for r in rows]
@@ -258,30 +349,27 @@ class TranscriptSearchEngine:
         ]
         if not weighted:
             return empty
-        wdf = spark.createDataFrame(weighted, "term string, wqt double")
-        decoded = (
-            self.postings.join(F.broadcast(wdf), "term")
-            .withColumn("d", decode_doc_tfs_udf("postings_bin"))
-            .select("wqt", F.explode(F.arrays_zip("d.doc_ids", "d.tfs")).alias("p"))
-            .select(
-                F.col("p.doc_ids").alias("doc_id"),
-                (F.col("wqt") * (F.lit(1.0) + F.log(F.col("p.tfs")))).alias("partial"),
-            )
+        wdf = spark.createDataFrame(
+            [(t, i, w) for i, (t, w) in enumerate(weighted)],
+            "term string, qidx int, wqt double",
         )
-        # doc_stats join: broadcast while the per-doc stats table is small
-        # enough (one row per doc — fine up to ~10^6 docs), shuffle-join
-        # beyond that. num_docs is known from the index metadata.
-        stats = self.doc_stats.select("doc_id", "weight")
-        if self.num_docs <= 1_000_000:
-            stats = F.broadcast(stats)
-        return (
-            decoded.groupBy("doc_id")
-            .agg(F.sum("partial").alias("acc"))
-            .join(stats, "doc_id")
-            .select("doc_id", (F.col("acc") / F.col("weight")).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
+        # Blocks partition the doc space, so each doc's score is COMPLETE
+        # within its block: one applyInPandas over (term, block) cells
+        # scores a whole block in numpy and emits only that block's
+        # top-k. The global answer is TakeOrderedAndProject over
+        # n_blocks*k tiny rows — no posting-row explosion, no doc_stats
+        # join (L_d rides inside the block, weights_bin), and the only
+        # shuffle moves the (compressed) query-term blocks themselves.
+        # Partials accumulate in query-term order (qidx), the exact
+        # float-addition order of the reference's term-at-a-time loop
+        # (query.py:78-83).
+        cells = self.postings.join(F.broadcast(wdf), "term").select(
+            "block_id", "qidx", "wqt", "postings_bin", "weights_bin"
         )
+        scored = cells.groupBy("block_id").applyInPandas(
+            _block_scorer(k), "doc_id long, score double"
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # ---------------------------------------------------------------- boolean
     def boolean_query(self, query: str) -> list[int]:
@@ -337,66 +425,43 @@ class TranscriptSearchEngine:
         return reduce(lambda a, b: a.join(b, "doc_id"), parts)
 
     def _all_terms_df(self, terms: list[str]) -> DataFrame:
-        """Docs containing ALL of ``terms`` in one decode + aggregate."""
+        """Docs containing ALL of ``terms``: per-block n-way sorted
+        intersect in numpy (``utils.py:33-51`` at block granularity) —
+        block results are disjoint, so their union needs no dedup."""
         uniq = sorted(set(terms))
         qdf = self.spark.createDataFrame([(t,) for t in uniq], "term string")
-        return (
-            self.postings.join(F.broadcast(qdf), "term")
-            .withColumn("d", decode_doc_tfs_udf("postings_bin"))
-            .select("term", F.explode("d.doc_ids").alias("doc_id"))
-            .groupBy("doc_id")
-            .agg(F.count_distinct("term").alias("nt"))
-            .where(F.col("nt") == len(uniq))
-            .select("doc_id")
+        cells = self.postings.join(F.broadcast(qdf), "term").select(
+            "block_id", "term", "postings_bin"
+        )
+        return cells.groupBy("block_id").applyInPandas(
+            _block_set_op(len(uniq)), "doc_id long"
         )
 
     def _any_term_df(self, terms: list[str]) -> DataFrame:
         """Docs containing ANY of ``terms`` (OR within, used for single
-        terms and wildcard expansions)."""
+        terms and wildcard expansions): per-block sorted union."""
         qdf = self.spark.createDataFrame([(t,) for t in set(terms)], "term string")
-        return (
-            self.postings.join(F.broadcast(qdf), "term")
-            .withColumn("d", decode_doc_tfs_udf("postings_bin"))
-            .select(F.explode("d.doc_ids").alias("doc_id"))
-            .distinct()
+        cells = self.postings.join(F.broadcast(qdf), "term").select(
+            "block_id", "term", "postings_bin"
+        )
+        return cells.groupBy("block_id").applyInPandas(
+            _block_set_op(None), "doc_id long"
         )
 
     def _phrase_df(self, terms: list[str]) -> DataFrame:
         """Docs where ``terms`` occur at consecutive positions
         (reference ``query.py:143-160``: shift term i's positions by -i,
-        intersect)."""
+        intersect) — vectorized per block, see ``_block_phrase``."""
         n = len(terms)
         qdf = self.spark.createDataFrame(
             [(t, i) for i, t in enumerate(terms)], "term string, slot int"
         )
-        exploded = (
-            self.postings.join(F.broadcast(qdf), "term")
-            .withColumn("d", decode_full_udf("postings_bin", "positions_bin"))
-            .select(
-                "slot",
-                F.explode(
-                    F.arrays_zip("d.doc_ids", "d.positions")
-                ).alias("p"),
-            )
-            .select(
-                F.col("p.doc_ids").alias("doc_id"),
-                "slot",
-                F.transform("p.positions", lambda x: x - F.col("slot")).alias("shifted"),
-            )
+        cells = self.postings.join(F.broadcast(qdf), "term").select(
+            "block_id", "slot", "postings_bin", "positions_bin"
         )
-        grouped = exploded.groupBy("doc_id").agg(
-            F.count_distinct("slot").alias("n_slots"),
-            F.array_sort(F.collect_list(F.struct("slot", "shifted"))).alias("sl"),
+        return cells.groupBy("block_id").applyInPandas(
+            _block_phrase(n, self.block_span), "doc_id long"
         )
-        intersected = grouped.where(F.col("n_slots") == n).select(
-            "doc_id",
-            F.aggregate(
-                F.slice("sl", 2, n - 1),
-                F.element_at("sl", 1)["shifted"],
-                lambda acc, x: F.array_intersect(acc, x["shifted"]),
-            ).alias("common"),
-        )
-        return intersected.where(F.size("common") > 0).select("doc_id")
 
     # --------------------------------------------------------------- wildcard
     def wildcard_expand(self, pattern: str) -> list[str]:

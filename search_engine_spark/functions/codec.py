@@ -120,12 +120,13 @@ def encode_positions(tfs: np.ndarray, flat_positions: np.ndarray) -> bytes:
     return vb_encode(deltas)
 
 
-def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
-    """Decode ``positions_bin`` -> list of per-doc absolute position arrays."""
+def decode_positions_flat(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Decode ``positions_bin`` -> flat absolute positions (concatenated
+    per-doc, doc boundaries given by ``tfs``)."""
     tfs = np.asarray(tfs, dtype=np.int64)
     deltas = vb_decode(buf)
     if deltas.size == 0:
-        return [np.empty(0, dtype=np.int64) for _ in range(tfs.size)]
+        return np.empty(0, dtype=np.int64)
     doc_starts = np.zeros(tfs.size, dtype=np.int64)
     np.cumsum(tfs[:-1], out=doc_starts[1:])
     # absolute positions: cumulative sum restarted at every doc boundary
@@ -134,6 +135,14 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     carried = np.zeros(deltas.size, dtype=np.int64)
     prefix_before_doc = absolute[doc_starts] - deltas[doc_starts]
     carried[doc_starts] = np.diff(np.concatenate(([0], prefix_before_doc)))
-    absolute = absolute - np.cumsum(carried)
+    return absolute - np.cumsum(carried)
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Decode ``positions_bin`` -> list of per-doc absolute position arrays."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if tfs.size == 0 or len(buf) == 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(tfs.size)]
+    absolute = decode_positions_flat(buf, tfs)
     bounds = np.cumsum(tfs)[:-1]
     return np.split(absolute, bounds)

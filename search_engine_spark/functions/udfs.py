@@ -55,6 +55,68 @@ def analyze_udf(texts: pd.Series) -> pd.Series:
     )
 
 
+ANALYZE_DOC_TYPE = T.StructType(
+    [
+        T.StructField(
+            "postings",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("term", T.StringType()),
+                        T.StructField("tf", T.IntegerType()),
+                        T.StructField("positions", T.ArrayType(T.IntegerType())),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("words", T.ArrayType(T.StringType())),
+        T.StructField("weight", T.DoubleType()),
+        T.StructField("doc_len", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(ANALYZE_DOC_TYPE)
+def analyze_doc_udf(texts: pd.Series) -> pd.DataFrame:
+    """Tokenize + normalize + per-doc aggregate, all map-side.
+
+    Emits, per document: the full (term, tf, sorted positions) list, the
+    distinct unstemmed vocabulary words, and the reference's doc weight
+    L_d = sqrt(sum (1+ln tf)^2) accumulated in term-first-occurrence
+    order (``memoryindex.py:22-51``, ``diskindex.py:162-186,302-306``).
+
+    Doing the per-doc aggregation inside the Arrow batch means the index
+    build shuffles one row per (doc, term) instead of one per token
+    occurrence — at transcript scale that deletes the largest shuffle
+    (every token) plus the doc-weight aggregation and the tf-weight join
+    that a naive groupBy pipeline needs.
+    """
+    from math import log, sqrt
+
+    posts, words_col, weights, lens = [], [], [], []
+    for t in texts:
+        toks = analyze(t or "")
+        acc: dict[str, list[int]] = {}
+        words: set[str] = set()
+        for term, pos, raw in toks:
+            acc.setdefault(term, []).append(pos)
+            words.add(raw)
+        weight = 0.0
+        plist = []
+        for term, positions in acc.items():
+            tf = len(positions)
+            w = 1.0 + log(tf)
+            weight += w * w
+            plist.append({"term": term, "tf": tf, "positions": positions})
+        posts.append(plist)
+        words_col.append(sorted(words))
+        weights.append(sqrt(weight))
+        lens.append(len(toks))
+    return pd.DataFrame(
+        {"postings": posts, "words": words_col, "weight": weights, "doc_len": lens}
+    )
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def kgrams_udf(words: pd.Series) -> pd.Series:
     """All 1..3-grams of ``$word$`` (reference ``kgram.py:18-25``)."""
@@ -68,6 +130,18 @@ def encode_postings_udf(doc_ids: pd.Series, tfs: pd.Series) -> pd.Series:
             codec.encode_postings(np.asarray(d, dtype=np.int64), np.asarray(t, dtype=np.int64))
             for d, t in zip(doc_ids, tfs)
         ]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def encode_weights_udf(weights: pd.Series) -> pd.Series:
+    """Pack per-posting doc weights (L_d) as little-endian float64 —
+    exact bit preservation so score = acc/L_d matches the reference's
+    float64 arithmetic. Stored inline per (term, block) so ranked
+    scoring needs NO doc_stats join (at 10^9+ docs that join shuffles
+    the whole stats table per query)."""
+    return pd.Series(
+        [np.asarray(w, dtype="<f8").tobytes() for w in weights]
     )
 
 
@@ -87,13 +161,37 @@ def encode_positions_udf(tfs: pd.Series, flat_positions: pd.Series) -> pd.Series
 def decode_doc_tfs_udf(blobs: pd.Series) -> pd.DataFrame:
     """Decode postings_bin -> (doc_ids, tfs); positions column untouched,
     so Catalyst prunes position bytes for non-phrase queries (the
-    reference's lazy seek, ``diskindex.py:124-125``)."""
+    reference's lazy seek, ``diskindex.py:124-125``). Cells hold numpy
+    arrays (no .tolist()) — Arrow zero-copies primitive arrays, which
+    matters when a hot term's block decodes to 10^4-10^5 postings."""
     docs, tfs = [], []
     for blob in blobs:
         d, t = codec.decode_postings(bytes(blob))
-        docs.append(d.tolist())
-        tfs.append(t.tolist())
+        docs.append(d)
+        tfs.append(t.astype(np.int32))
     return pd.DataFrame({"doc_ids": docs, "tfs": tfs})
+
+
+_SCORING_TYPE = T.StructType(
+    [
+        T.StructField("doc_ids", T.ArrayType(T.LongType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
+        T.StructField("weights", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+@F.pandas_udf(_SCORING_TYPE)
+def decode_scoring_udf(postings_blobs: pd.Series, weight_blobs: pd.Series) -> pd.DataFrame:
+    """Decode postings_bin + weights_bin -> (doc_ids, tfs, L_d per doc):
+    everything ranked scoring needs, no doc_stats join."""
+    docs, tfs, ws = [], [], []
+    for pblob, wblob in zip(postings_blobs, weight_blobs):
+        d, t = codec.decode_postings(bytes(pblob))
+        docs.append(d)
+        tfs.append(t.astype(np.int32))
+        ws.append(np.frombuffer(bytes(wblob), dtype="<f8"))
+    return pd.DataFrame({"doc_ids": docs, "tfs": tfs, "weights": ws})
 
 
 @F.pandas_udf(_FULL_TYPE)
@@ -102,7 +200,7 @@ def decode_full_udf(postings_blobs: pd.Series, position_blobs: pd.Series) -> pd.
     for pblob, posblob in zip(postings_blobs, position_blobs):
         d, t = codec.decode_postings(bytes(pblob))
         p = codec.decode_positions(bytes(posblob), t)
-        docs.append(d.tolist())
-        tfs.append(t.tolist())
-        poss.append([x.tolist() for x in p])
+        docs.append(d)
+        tfs.append(t.astype(np.int32))
+        poss.append([x.astype(np.int32) for x in p])
     return pd.DataFrame({"doc_ids": docs, "tfs": tfs, "positions": poss})
