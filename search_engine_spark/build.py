@@ -35,6 +35,7 @@ import os
 import shutil
 import time
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -95,42 +96,93 @@ def doc_weights(tf: DataFrame) -> DataFrame:
     )
 
 
-def block_postings(tf_with_weight: DataFrame, block_span: int) -> DataFrame:
-    """Compress (term, doc, tf, positions) rows into per-(term, block) rows."""
-    blocked = tf_with_weight.withColumn(
-        "block_id", F.floor(F.col("doc_id") / F.lit(block_span)).cast("long")
-    )
-    plist = blocked.groupBy("term", "block_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("doc_id", "tf", "positions", "weight"))
-        ).alias("pl")
-    )
-    doc_ids = F.transform("pl", lambda x: x["doc_id"])
-    tfs = F.transform("pl", lambda x: x["tf"])
-    return plist.select(
-        "term",
-        "block_id",
-        F.size("pl").alias("df_block"),
-        F.element_at("pl", 1)["doc_id"].alias("first_doc_id"),
-        F.element_at("pl", -1)["doc_id"].alias("last_doc_id"),
-        F.array_max(tfs).alias("max_tf"),
-        F.aggregate(tfs, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")).alias(
-            "sum_tf"
-        ),
-        # block-max of the doc-normalized partial score (1+ln tf)/L_d —
+POSTINGS_SCHEMA = (
+    "term string, block_id long, df_block int, first_doc_id long, "
+    "last_doc_id long, max_tf int, sum_tf long, max_partial double, "
+    "postings_bin binary, weights_bin binary, positions_bin binary"
+)
+
+
+def _encode_block_groups(batches):
+    """``mapInArrow`` worker: encode sorted (term, block_id, doc_id, tf,
+    weight, positions) rows into one output row per (term, block).
+
+    Requires the partition to be hash-partitioned on (term, block_id)
+    and sorted by (term, block_id, doc_id). Group detection and every
+    per-group statistic are numpy over the partition's Arrow columns --
+    no JVM object aggregation (collect_list/array_sort would buffer and
+    sort millions of per-posting structs), and positions come straight
+    out of the Arrow list buffer (flat values + offsets), never as
+    per-row Python lists.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from search_engine_spark.functions import codec
+
+    batches = list(batches)
+    if not batches:
+        return
+    tbl = pa.Table.from_batches(batches)
+    n = tbl.num_rows
+    if n == 0:
+        return
+    term = tbl.column("term").to_pandas().to_numpy()
+    block = tbl.column("block_id").to_numpy()
+    doc = tbl.column("doc_id").to_numpy()
+    tf = tbl.column("tf").to_numpy().astype(np.int64)
+    weight = tbl.column("weight").to_numpy()
+    poslist = tbl.column("positions").combine_chunks()
+    flat_pos = poslist.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = pc.list_value_length(poslist).to_numpy().astype(np.int64)
+    pos_starts = np.concatenate(([0], np.cumsum(lengths)))
+
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (term[1:] != term[:-1]) | (block[1:] != block[:-1])
+    gs = np.flatnonzero(change)
+    ge = np.append(gs[1:], n)
+
+    cols: dict[str, list] = {k: [] for k in (
+        "term", "block_id", "df_block", "first_doc_id", "last_doc_id",
+        "max_tf", "sum_tf", "max_partial", "postings_bin", "weights_bin",
+        "positions_bin",
+    )}
+    for s, e in zip(gs, ge):
+        d, t, w = doc[s:e], tf[s:e], weight[s:e]
+        cols["term"].append(term[s])
+        cols["block_id"].append(int(block[s]))
+        cols["df_block"].append(int(e - s))
+        cols["first_doc_id"].append(int(d[0]))
+        cols["last_doc_id"].append(int(d[-1]))
+        cols["max_tf"].append(int(t.max()))
+        cols["sum_tf"].append(int(t.sum()))
+        # block-max of the doc-normalized partial score (1+ln tf)/L_d --
         # the WAND upper bound for this block under wqt scaling
-        F.array_max(
-            F.transform("pl", lambda x: (F.lit(1.0) + F.log(x["tf"])) / x["weight"])
-        ).alias("max_partial"),
-        encode_postings_udf(doc_ids, tfs).alias("postings_bin"),
+        cols["max_partial"].append(float(np.max((1.0 + np.log(t)) / w)))
+        cols["postings_bin"].append(codec.encode_postings(d, t))
         # per-posting L_d inline (raw float64): ranked scoring reads it
         # from the block instead of shuffling doc_stats per query
-        encode_weights_udf(F.transform("pl", lambda x: x["weight"])).alias(
-            "weights_bin"
-        ),
-        encode_positions_udf(
-            tfs, F.flatten(F.transform("pl", lambda x: x["positions"]))
-        ).alias("positions_bin"),
+        cols["weights_bin"].append(np.ascontiguousarray(w, dtype="<f8").tobytes())
+        cols["positions_bin"].append(
+            codec.encode_positions(t, flat_pos[pos_starts[s] : pos_starts[e]])
+        )
+
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(cols["term"], pa.string()),
+            pa.array(cols["block_id"], pa.int64()),
+            pa.array(cols["df_block"], pa.int32()),
+            pa.array(cols["first_doc_id"], pa.int64()),
+            pa.array(cols["last_doc_id"], pa.int64()),
+            pa.array(cols["max_tf"], pa.int32()),
+            pa.array(cols["sum_tf"], pa.int64()),
+            pa.array(cols["max_partial"], pa.float64()),
+            pa.array(cols["postings_bin"], pa.binary()),
+            pa.array(cols["weights_bin"], pa.binary()),
+            pa.array(cols["positions_bin"], pa.binary()),
+        ],
+        names=list(cols.keys()),
     )
 
 
@@ -232,7 +284,10 @@ class IndexBuilder:
         # diskindex.py:219-260).
         analyzed = docs_chunk.select(
             "doc_id", analyze_doc_udf("text").alias("a")
-        ).select("doc_id", "a.postings", "a.words", "a.weight", "a.doc_len")
+        ).select(
+            "doc_id", "a.terms", "a.tfs", "a.positions", "a.words",
+            "a.weight", "a.doc_len",
+        )
         analyzed.persist(StorageLevel.MEMORY_AND_DISK)
 
         t1 = time.time()
@@ -240,18 +295,33 @@ class IndexBuilder:
             "doc_id",
             "weight",
             F.col("doc_len").cast("long").alias("doc_len"),
-            F.size("postings").cast("long").alias("n_terms"),
+            F.size("terms").cast("long").alias("n_terms"),
         )
         stats.write.mode("overwrite").parquet(self._p("doc_stats", f"chunk={chunk}"))
         t2 = time.time()
 
+        # transpose doc-major -> term-major: the index's one real shuffle.
+        # Hash on (term, block_id) spreads a hot term's blocks across
+        # reducers (doc-range salting); the per-partition sort feeds the
+        # streaming Arrow group encoder.
         tf_w = analyzed.select(
-            "doc_id", "weight", F.explode("postings").alias("p")
-        ).select("doc_id", "p.term", "p.tf", "p.positions", "weight")
-        postings = block_postings(tf_w, self.block_span)
+            "doc_id",
+            "weight",
+            F.explode(F.arrays_zip("terms", "tfs", "positions")).alias("p"),
+        ).select(
+            F.col("p.terms").alias("term"),
+            F.floor(F.col("doc_id") / F.lit(self.block_span))
+            .cast("long")
+            .alias("block_id"),
+            "doc_id",
+            F.col("p.tfs").alias("tf"),
+            "weight",
+            F.col("p.positions").alias("positions"),
+        )
         (
-            postings.repartition(self.write_partitions, "term")
-            .sortWithinPartitions("term", "block_id")
+            tf_w.repartition(self.write_partitions, "term", "block_id")
+            .sortWithinPartitions("term", "block_id", "doc_id")
+            .mapInArrow(_encode_block_groups, POSTINGS_SCHEMA)
             .write.mode("overwrite")
             .parquet(self._p("postings", f"chunk={chunk}"))
         )

@@ -57,18 +57,9 @@ def analyze_udf(texts: pd.Series) -> pd.Series:
 
 ANALYZE_DOC_TYPE = T.StructType(
     [
-        T.StructField(
-            "postings",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("term", T.StringType()),
-                        T.StructField("tf", T.IntegerType()),
-                        T.StructField("positions", T.ArrayType(T.IntegerType())),
-                    ]
-                )
-            ),
-        ),
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
+        T.StructField("positions", T.ArrayType(T.ArrayType(T.IntegerType()))),
         T.StructField("words", T.ArrayType(T.StringType())),
         T.StructField("weight", T.DoubleType()),
         T.StructField("doc_len", T.IntegerType()),
@@ -80,20 +71,23 @@ ANALYZE_DOC_TYPE = T.StructType(
 def analyze_doc_udf(texts: pd.Series) -> pd.DataFrame:
     """Tokenize + normalize + per-doc aggregate, all map-side.
 
-    Emits, per document: the full (term, tf, sorted positions) list, the
-    distinct unstemmed vocabulary words, and the reference's doc weight
-    L_d = sqrt(sum (1+ln tf)^2) accumulated in term-first-occurrence
-    order (``memoryindex.py:22-51``, ``diskindex.py:162-186,302-306``).
+    Emits, per document: aligned (terms, tfs, sorted position lists)
+    arrays, the distinct unstemmed vocabulary words, and the reference's
+    doc weight L_d = sqrt(sum (1+ln tf)^2) accumulated in
+    term-first-occurrence order (``memoryindex.py:22-51``,
+    ``diskindex.py:162-186,302-306``).
 
     Doing the per-doc aggregation inside the Arrow batch means the index
     build shuffles one row per (doc, term) instead of one per token
     occurrence — at transcript scale that deletes the largest shuffle
     (every token) plus the doc-weight aggregation and the tf-weight join
-    that a naive groupBy pipeline needs.
+    that a naive groupBy pipeline needs. The struct-of-arrays layout
+    (not array-of-structs) keeps the Arrow conversion to a few list
+    columns instead of millions of tiny structs.
     """
     from math import log, sqrt
 
-    posts, words_col, weights, lens = [], [], [], []
+    terms_col, tfs_col, pos_col, words_col, weights, lens = [], [], [], [], [], []
     for t in texts:
         toks = analyze(t or "")
         acc: dict[str, list[int]] = {}
@@ -102,18 +96,27 @@ def analyze_doc_udf(texts: pd.Series) -> pd.DataFrame:
             acc.setdefault(term, []).append(pos)
             words.add(raw)
         weight = 0.0
-        plist = []
-        for term, positions in acc.items():
+        tfs = []
+        for positions in acc.values():
             tf = len(positions)
             w = 1.0 + log(tf)
             weight += w * w
-            plist.append({"term": term, "tf": tf, "positions": positions})
-        posts.append(plist)
+            tfs.append(tf)
+        terms_col.append(list(acc.keys()))
+        tfs_col.append(tfs)
+        pos_col.append(list(acc.values()))
         words_col.append(sorted(words))
         weights.append(sqrt(weight))
         lens.append(len(toks))
     return pd.DataFrame(
-        {"postings": posts, "words": words_col, "weight": weights, "doc_len": lens}
+        {
+            "terms": terms_col,
+            "tfs": tfs_col,
+            "positions": pos_col,
+            "words": words_col,
+            "weight": weights,
+            "doc_len": lens,
+        }
     )
 
 
