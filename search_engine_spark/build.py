@@ -51,12 +51,12 @@ from search_engine_spark.functions.udfs import (
 from search_engine_spark.operators.docids import with_doc_ids
 
 # Docs per posting block — the doc-range salt. This bounds (a) the
-# collect_list payload per (term, block) group in the build shuffle and
-# (b) the decode/explode unit at query time, so a hot term (a stopword
-# present in every doc) fans out across corpus_size/BLOCK_SPAN tasks
-# instead of landing on one reducer. 64k docs/block keeps the worst
-# group ~hundreds of KB encoded while the per-term metadata stays tiny
-# (10^12 turns -> ~15k blocks per hot term).
+# per-(term, block) group size in the build shuffle and (b) the decode
+# unit at query time, so a hot term (a stopword present in every doc)
+# fans out across corpus_size/BLOCK_SPAN tasks instead of landing on
+# one reducer. 64k docs/block keeps the worst group ~hundreds of KB
+# encoded while the per-term metadata stays tiny (10^12 turns -> ~15M
+# blocks per hot term, spread over the cluster).
 DEFAULT_BLOCK_SPAN = 1 << 16
 
 # Bump whenever the on-disk table layout changes (readers refuse
@@ -103,43 +103,78 @@ POSTINGS_SCHEMA = (
 )
 
 
-def _encode_block_groups(batches):
-    """``mapInArrow`` worker: encode sorted (term, block_id, doc_id, tf,
-    weight, positions) rows into one output row per (term, block).
+def _partial_block_encoder(block_span: int):
+    """Factory for the ``mapInArrow`` worker below (closes over the
+    block span; cloudpickle ships the closure to executors)."""
 
-    Requires the partition to be hash-partitioned on (term, block_id)
-    and sorted by (term, block_id, doc_id). Group detection and every
-    per-group statistic are numpy over the partition's Arrow columns --
-    no JVM object aggregation (collect_list/array_sort would buffer and
-    sort millions of per-posting structs), and positions come straight
-    out of the Arrow list buffer (flat values + offsets), never as
-    per-row Python lists.
+    def _encode_partial_blocks(batches):
+        return _encode_partial_blocks_impl(batches, block_span)
+
+    return _encode_partial_blocks
+
+
+def _encode_partial_blocks_impl(batches, block_span):
+    """``mapInArrow`` worker: turn one doc-range partition of analyzed
+    docs straight into encoded posting-block SEGMENTS.
+
+    Input columns: doc_id, terms, tfs, positions (per-doc arrays),
+    weight. The worker flattens them with Arrow list offsets (no
+    explode, no per-row Python), sorts the partition's (term, block,
+    doc) triples with one ``np.lexsort`` over int64 codes, and emits one
+    encoded row per (term, block) present in the partition — the SPIMI
+    in-memory block flush (``diskindex.py:187-217``) as vectorized
+    columnar code. Downstream only these compressed segments shuffle
+    (bytes-per-posting, not row-per-posting), which is what makes the
+    build's one wide exchange cheap at 10^12-turn scale.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from search_engine_spark.functions import codec
 
+    # whole-partition processing: one segment per (term, block) per task
+    # (per-batch flushes would fragment blocks into ~25x more segments;
+    # spark.sql.files.maxPartitionBytes bounds the materialized size)
     batches = list(batches)
-    if not batches:
+    if batches:
+        tbl = pa.Table.from_batches(batches)
+    if not batches or tbl.num_rows == 0:
         return
-    tbl = pa.Table.from_batches(batches)
-    n = tbl.num_rows
+    doc_col = tbl.column("doc_id").to_numpy()
+    weight_col = tbl.column("weight").to_numpy()
+    terms_list = tbl.column("terms").combine_chunks()
+    n_per_doc = pc.list_value_length(terms_list).to_numpy().astype(np.int64)
+    dict_arr = terms_list.flatten().dictionary_encode()
+    codes = dict_arr.indices.to_numpy().astype(np.int64)
+    term_dict = dict_arr.dictionary.to_pylist()
+    tf = tbl.column("tfs").combine_chunks().flatten().to_numpy().astype(np.int64)
+    inner = tbl.column("positions").combine_chunks().flatten()
+    flat_pos = inner.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    pos_lens = pc.list_value_length(inner).to_numpy().astype(np.int64)
+    pos_starts = np.concatenate(([0], np.cumsum(pos_lens)))
+
+    doc = np.repeat(doc_col, n_per_doc)
+    weight = np.repeat(weight_col, n_per_doc)
+    block = doc // block_span
+    n = doc.size
     if n == 0:
         return
-    term = tbl.column("term").to_pandas().to_numpy()
-    block = tbl.column("block_id").to_numpy()
-    doc = tbl.column("doc_id").to_numpy()
-    tf = tbl.column("tf").to_numpy().astype(np.int64)
-    weight = tbl.column("weight").to_numpy()
-    poslist = tbl.column("positions").combine_chunks()
-    flat_pos = poslist.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-    lengths = pc.list_value_length(poslist).to_numpy().astype(np.int64)
-    pos_starts = np.concatenate(([0], np.cumsum(lengths)))
+
+    order = np.lexsort((doc, block, codes))
+    codes, block, doc, tf, weight = (
+        codes[order], block[order], doc[order], tf[order], weight[order]
+    )
+    lens_o = pos_lens[order]
+    row_off = np.concatenate(([0], np.cumsum(lens_o[:-1])))
+    out_idx = np.repeat(pos_starts[order] - row_off, lens_o) + np.arange(
+        int(lens_o.sum())
+    )
+    flat_pos = flat_pos[out_idx]
+    new_starts = np.concatenate(([0], np.cumsum(lens_o)))
 
     change = np.empty(n, dtype=bool)
     change[0] = True
-    change[1:] = (term[1:] != term[:-1]) | (block[1:] != block[:-1])
+    change[1:] = (codes[1:] != codes[:-1]) | (block[1:] != block[:-1])
     gs = np.flatnonzero(change)
     ge = np.append(gs[1:], n)
 
@@ -150,22 +185,24 @@ def _encode_block_groups(batches):
     )}
     for s, e in zip(gs, ge):
         d, t, w = doc[s:e], tf[s:e], weight[s:e]
-        cols["term"].append(term[s])
+        cols["term"].append(term_dict[codes[s]])
         cols["block_id"].append(int(block[s]))
         cols["df_block"].append(int(e - s))
         cols["first_doc_id"].append(int(d[0]))
         cols["last_doc_id"].append(int(d[-1]))
         cols["max_tf"].append(int(t.max()))
         cols["sum_tf"].append(int(t.sum()))
-        # block-max of the doc-normalized partial score (1+ln tf)/L_d --
-        # the WAND upper bound for this block under wqt scaling
+        # block-max of the doc-normalized partial score (1+ln tf)/L_d
+        # -- the WAND upper bound for this block under wqt scaling
         cols["max_partial"].append(float(np.max((1.0 + np.log(t)) / w)))
         cols["postings_bin"].append(codec.encode_postings(d, t))
-        # per-posting L_d inline (raw float64): ranked scoring reads it
-        # from the block instead of shuffling doc_stats per query
-        cols["weights_bin"].append(np.ascontiguousarray(w, dtype="<f8").tobytes())
+        # per-posting L_d inline (raw float64): ranked scoring reads
+        # it from the block instead of shuffling doc_stats per query
+        cols["weights_bin"].append(
+            np.ascontiguousarray(w, dtype="<f8").tobytes()
+        )
         cols["positions_bin"].append(
-            codec.encode_positions(t, flat_pos[pos_starts[s] : pos_starts[e]])
+            codec.encode_positions(t, flat_pos[new_starts[s] : new_starts[e]])
         )
 
     yield pa.RecordBatch.from_arrays(
@@ -183,6 +220,49 @@ def _encode_block_groups(batches):
             pa.array(cols["positions_bin"], pa.binary()),
         ],
         names=list(cols.keys()),
+    )
+
+
+def _merge_segments(pdf):
+    """``applyInPandas`` worker: k-way merge of one (term, block)'s
+    encoded segments into the final posting row (the SPIMI merge,
+    ``diskindex.py:219-260``). Single-segment groups (the common case —
+    a 64k-doc block rarely spans many input partitions) pass through
+    untouched; multi-segment groups decode, doc-sort and re-encode.
+    """
+    import pandas as pd
+
+    from search_engine_spark.functions import codec
+
+    if len(pdf) == 1:
+        return pdf
+    docs_l, tfs_l, pos_l, w_l = [], [], [], []
+    for _, row in pdf.iterrows():
+        d, t = codec.decode_postings(bytes(row["postings_bin"]))
+        docs_l.append(d)
+        tfs_l.append(t)
+        pos_l.extend(codec.decode_positions(bytes(row["positions_bin"]), t))
+        w_l.append(np.frombuffer(bytes(row["weights_bin"]), dtype="<f8"))
+    doc = np.concatenate(docs_l)
+    tf = np.concatenate(tfs_l).astype(np.int64)
+    w = np.concatenate(w_l)
+    order = np.argsort(doc, kind="stable")
+    doc, tf, w = doc[order], tf[order], w[order]
+    flat_pos = np.concatenate([pos_l[i] for i in order])
+    return pd.DataFrame(
+        {
+            "term": [pdf["term"].iloc[0]],
+            "block_id": [pdf["block_id"].iloc[0]],
+            "df_block": [int(doc.size)],
+            "first_doc_id": [int(doc[0])],
+            "last_doc_id": [int(doc[-1])],
+            "max_tf": [int(tf.max())],
+            "sum_tf": [int(tf.sum())],
+            "max_partial": [float(np.max((1.0 + np.log(tf)) / w))],
+            "postings_bin": [codec.encode_postings(doc, tf)],
+            "weights_bin": [np.ascontiguousarray(w, dtype="<f8").tobytes()],
+            "positions_bin": [codec.encode_positions(tf, flat_pos)],
+        }
     )
 
 
@@ -300,28 +380,18 @@ class IndexBuilder:
         stats.write.mode("overwrite").parquet(self._p("doc_stats", f"chunk={chunk}"))
         t2 = time.time()
 
-        # transpose doc-major -> term-major: the index's one real shuffle.
-        # Hash on (term, block_id) spreads a hot term's blocks across
-        # reducers (doc-range salting); the per-partition sort feeds the
-        # streaming Arrow group encoder.
-        tf_w = analyzed.select(
-            "doc_id",
-            "weight",
-            F.explode(F.arrays_zip("terms", "tfs", "positions")).alias("p"),
-        ).select(
-            F.col("p.terms").alias("term"),
-            F.floor(F.col("doc_id") / F.lit(self.block_span))
-            .cast("long")
-            .alias("block_id"),
-            "doc_id",
-            F.col("p.tfs").alias("tf"),
-            "weight",
-            F.col("p.positions").alias("positions"),
-        )
+        # transpose doc-major -> term-major, SPIMI style: each doc-range
+        # partition flushes its own encoded (term, block) segments
+        # map-side, so the one wide exchange moves compressed posting
+        # bytes, not row-per-posting records; the (term, block_id)
+        # grouping both merges segments and doc-range-salts hot terms.
+        partials = analyzed.select(
+            "doc_id", "terms", "tfs", "positions", "weight"
+        ).mapInArrow(_partial_block_encoder(self.block_span), POSTINGS_SCHEMA)
         (
-            tf_w.repartition(self.write_partitions, "term", "block_id")
-            .sortWithinPartitions("term", "block_id", "doc_id")
-            .mapInArrow(_encode_block_groups, POSTINGS_SCHEMA)
+            partials.groupBy("term", "block_id")
+            .applyInPandas(_merge_segments, POSTINGS_SCHEMA)
+            .sortWithinPartitions("term", "block_id")
             .write.mode("overwrite")
             .parquet(self._p("postings", f"chunk={chunk}"))
         )

@@ -214,7 +214,7 @@ class TranscriptSearchEngine:
 
         Postings are stored per (term, doc-range block) with
         ``max_partial`` = max over the block of (1+ln tf)/L_d
-        (``build.py::block_postings``). Since a doc's terms all live in
+        (``build.py::_partial_block_encoder``). Since a doc's terms all live in
         the doc's own block range, the per-block score upper bound is
 
             ub(b) = sum over query terms t present in b of wqt_t * max_partial_{t,b}
