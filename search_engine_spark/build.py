@@ -48,7 +48,7 @@ from search_engine_spark.functions.udfs import (
     encode_weights_udf,
     kgrams_udf,
 )
-from search_engine_spark.operators.docids import with_doc_ids
+from search_engine_spark.operators.docids import with_doc_ids_counted
 
 # Docs per posting block — the doc-range salt. This bounds (a) the
 # per-(term, block) group size in the build shuffle and (b) the decode
@@ -309,16 +309,29 @@ class IndexBuilder:
             shutil.rmtree(self.index_dir)
         os.makedirs(self._p("manifest"), exist_ok=True)
 
-        docs = with_doc_ids(transcripts) if assign_ids else transcripts
+        num_docs = None
         if not resume or not os.path.exists(self._p("docs", "_SUCCESS")):
+            if assign_ids:
+                # the offset pass counts every partition anyway, so the
+                # corpus size is free — no extra count() scan
+                docs, num_docs, parted = with_doc_ids_counted(transcripts)
+            else:
+                docs, parted = transcripts, None
             docs.write.mode("overwrite").parquet(self._p("docs"))
+            if parted is not None:
+                parted.unpersist()
         docs = self.spark.read.parquet(self._p("docs"))
-        docs.persist(StorageLevel.MEMORY_AND_DISK)
-        num_docs = docs.count()
+        if num_docs is None:
+            num_docs = docs.count()
         phases["doc_ids"] = time.time() - t0
 
         chunk_docs = chunk_docs or max(num_docs, 1)
         n_chunks = math.ceil(num_docs / chunk_docs) if num_docs else 1
+        if n_chunks > 1:
+            # multi-chunk builds rescan the corpus per chunk; pin it.
+            # (single-chunk builds read it exactly once — caching would
+            # only add serialization cost)
+            docs.persist(StorageLevel.MEMORY_AND_DISK)
         chunk_metrics = []
         for chunk in range(n_chunks):
             lo, hi = chunk * chunk_docs, (chunk + 1) * chunk_docs
@@ -338,7 +351,8 @@ class IndexBuilder:
         t_fin = time.time()
         self._finalize(num_docs)
         phases["finalize"] = time.time() - t_fin
-        docs.unpersist()
+        if n_chunks > 1:
+            docs.unpersist()
         wall = time.time() - t0
         totals = {
             "phases": phases,

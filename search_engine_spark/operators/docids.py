@@ -40,6 +40,19 @@ def with_doc_ids(
     ``order_cols`` must be a unique key (true for (conv_id, turn_idx)),
     which makes the assignment total-order deterministic.
     """
+    out, _total, _parted = with_doc_ids_counted(df, order_cols, num_partitions)
+    return out
+
+
+def with_doc_ids_counted(
+    df: DataFrame,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    num_partitions: int | None = None,
+):
+    """Like :func:`with_doc_ids`, but also returns the total row count
+    (free — the offset pass already counts every partition) and the
+    pinned intermediate so the caller can ``unpersist()`` it once the
+    result is materialized."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -80,4 +93,4 @@ def with_doc_ids(
             local += len(pdf)
             yield pdf[out_cols]
 
-    return parted.mapInPandas(assign, out_schema)
+    return parted.mapInPandas(assign, out_schema), running, parted

@@ -72,7 +72,7 @@ def orchestrate(turns: int, cores_lo: int, cores_hi: int) -> None:
     from search_engine_spark.fixtures import synthetic_transcripts
     from search_engine_spark.session import get_spark
 
-    input_path = "/tmp/scaling_corpus"
+    input_path = os.environ.get("SCALING_CORPUS", "/tmp/scaling_corpus")
     if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
         spark = get_spark(app_name="scaling-gen", master="local[32]",
                           shuffle_partitions=32)
