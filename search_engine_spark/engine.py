@@ -307,12 +307,12 @@ class TranscriptSearchEngine:
         cells = self.postings.join(F.broadcast(pdf), ["term", "block_id"]).select(
             "block_id", "qidx", "wqt", "postings_bin", "weights_bin"
         )
-        rows = (
+        pdf = (
             cells.groupBy("block_id")
             .applyInPandas(_block_scorer(None), "doc_id long, score double")
-            .collect()
+            .toPandas()
         )
-        return [(r["doc_id"], r["score"]) for r in rows]
+        return list(zip((int(d) for d in pdf["doc_id"]), (float(s) for s in pdf["score"])))
 
     def _ranked_terms(self, query: str) -> list[str]:
         """Normalized query term list, wildcards expanded, duplicates kept
@@ -373,8 +373,11 @@ class TranscriptSearchEngine:
 
     # ---------------------------------------------------------------- boolean
     def boolean_query(self, query: str) -> list[int]:
+        # Arrow toPandas: materializing a large result (a stopword AND
+        # can match most of the corpus) as columnar batches is ~10x
+        # cheaper than driver-side Row objects from collect()
         df = self.boolean_query_df(query)
-        return [r["doc_id"] for r in df.collect()]
+        return [int(x) for x in df.toPandas()["doc_id"].to_numpy()]
 
     def boolean_query_df(self, query: str) -> DataFrame:
         literals = [lit.strip() for lit in query.split("+")]
