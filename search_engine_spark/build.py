@@ -59,9 +59,35 @@ from search_engine_spark.operators.docids import with_doc_ids_counted
 # blocks per hot term, spread over the cluster).
 DEFAULT_BLOCK_SPAN = 1 << 16
 
+# The phrase matcher packs (block-local doc offset, shifted position)
+# into one int64: offset < block_span <= 2^30, shifted position < 2^33
+# (engine._block_phrase). Larger spans would silently overflow the key.
+MAX_BLOCK_SPAN = 1 << 30
+
+# Hash-bucketed storage layout: postings are written under
+# bucket=<crc32(term) % N> directories so a query's term set prunes to
+# ~|buckets(terms)|/N of the files BEFORE any footer/row-group stats
+# are consulted (the directory-level stand-in for Iceberg's bucket
+# transform; row-group min/max on the term-sorted files prunes the
+# rest). N is fixed per index and recorded in _meta.json.
+DEFAULT_TERM_BUCKETS = 32
+
 # Bump whenever the on-disk table layout changes (readers refuse
 # mismatched indexes instead of failing mid-query).
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Python-side twin of :func:`term_bucket_col` (query-side pruning)."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def term_bucket_col(col, n_buckets: int):
+    """crc32(term) % N as a Column — matches :func:`term_bucket` exactly
+    (both are unsigned CRC-32 of the UTF-8 bytes)."""
+    return (F.crc32(F.encode(col, "UTF-8")) % F.lit(n_buckets)).cast("int")
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -223,12 +249,57 @@ def _encode_partial_blocks_impl(batches, block_span):
     )
 
 
+POSTINGS_BUCKETED_SCHEMA = POSTINGS_SCHEMA + ", bucket int"
+
+
+def _merge_sorted_partition(batches):
+    """``mapInArrow`` worker for the merge shuffle's reduce side.
+
+    The partition holds every segment of its (bucket, term, block_id)
+    range (``repartitionByRange`` sends equal keys to one partition).
+    Sort the whole partition by that key (Arrow ``sort_by`` — the
+    output files must be term-ordered for row-group min/max pruning),
+    then k-way-merge runs of equal (term, block_id) — the SPIMI merge,
+    reference ``diskindex.py:219-260``. Single-segment runs (the common
+    case: a 64k-doc block rarely spans many input partitions) pass
+    through without decode.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    batches = list(batches)
+    if not batches:
+        return
+    tbl = pa.Table.from_batches(batches)
+    if tbl.num_rows == 0:
+        return
+    tbl = tbl.sort_by(
+        [("bucket", "ascending"), ("term", "ascending"), ("block_id", "ascending")]
+    )
+    terms = tbl.column("term").to_pandas().to_numpy()
+    blocks = tbl.column("block_id").to_numpy()
+    dup_prev = np.zeros(len(terms), dtype=bool)
+    dup_prev[1:] = (terms[1:] == terms[:-1]) & (blocks[1:] == blocks[:-1])
+    if not dup_prev.any():
+        yield from tbl.to_batches(max_chunksize=4096)
+        return
+    pdf = tbl.to_pandas()
+    starts = np.flatnonzero(~dup_prev)
+    ends = np.append(starts[1:], len(pdf))
+    parts = []
+    for s, e in zip(starts, ends):
+        run = pdf.iloc[s:e]
+        parts.append(run if e - s == 1 else _merge_segments(run))
+    out = pd.concat(parts, ignore_index=True)
+    yield from pa.Table.from_pandas(out, schema=tbl.schema, preserve_index=False).to_batches(
+        max_chunksize=4096
+    )
+
+
 def _merge_segments(pdf):
-    """``applyInPandas`` worker: k-way merge of one (term, block)'s
-    encoded segments into the final posting row (the SPIMI merge,
-    ``diskindex.py:219-260``). Single-segment groups (the common case —
-    a 64k-doc block rarely spans many input partitions) pass through
-    untouched; multi-segment groups decode, doc-sort and re-encode.
+    """K-way merge of one (term, block)'s encoded segments into the
+    final posting row (the SPIMI merge, ``diskindex.py:219-260``):
+    decode, doc-sort, re-encode.
     """
     import pandas as pd
 
@@ -262,6 +333,7 @@ def _merge_segments(pdf):
             "postings_bin": [codec.encode_postings(doc, tf)],
             "weights_bin": [np.ascontiguousarray(w, dtype="<f8").tobytes()],
             "positions_bin": [codec.encode_positions(tf, flat_pos)],
+            "bucket": [pdf["bucket"].iloc[0]],
         }
     )
 
@@ -275,10 +347,19 @@ class IndexBuilder:
         index_dir: str,
         block_span: int = DEFAULT_BLOCK_SPAN,
         write_partitions: int | None = None,
+        term_buckets: int = DEFAULT_TERM_BUCKETS,
     ):
+        if not 1 <= block_span <= MAX_BLOCK_SPAN:
+            raise ValueError(
+                f"block_span must be in [1, {MAX_BLOCK_SPAN}] (phrase-key "
+                f"packing invariant), got {block_span}"
+            )
+        if term_buckets < 1:
+            raise ValueError(f"term_buckets must be >= 1, got {term_buckets}")
         self.spark = spark
         self.index_dir = index_dir
         self.block_span = block_span
+        self.term_buckets = term_buckets
         self.write_partitions = write_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
@@ -326,6 +407,12 @@ class IndexBuilder:
         phases["doc_ids"] = time.time() - t0
 
         chunk_docs = chunk_docs or max(num_docs, 1)
+        # Align chunk boundaries to whole posting blocks: chunks are
+        # doc-id ranges and postings are keyed by (term, block_id), so a
+        # boundary inside a block would make two chunks emit rows for
+        # the SAME (term, block_id) — readers assume that key is unique
+        # (set ops and WAND metadata would silently drop/double-count).
+        chunk_docs = math.ceil(chunk_docs / self.block_span) * self.block_span
         n_chunks = math.ceil(num_docs / chunk_docs) if num_docs else 1
         if n_chunks > 1:
             # multi-chunk builds rescan the corpus per chunk; pin it.
@@ -397,18 +484,31 @@ class IndexBuilder:
         # transpose doc-major -> term-major, SPIMI style: each doc-range
         # partition flushes its own encoded (term, block) segments
         # map-side, so the one wide exchange moves compressed posting
-        # bytes, not row-per-posting records; the (term, block_id)
-        # grouping both merges segments and doc-range-salts hot terms.
-        partials = analyzed.select(
-            "doc_id", "terms", "tfs", "positions", "weight"
-        ).mapInArrow(_partial_block_encoder(self.block_span), POSTINGS_SCHEMA)
+        # bytes, not row-per-posting records. The exchange is a RANGE
+        # repartition on (bucket, term, block_id): equal keys co-locate
+        # (the segment merge), hot terms stay spread over blocks, and
+        # each reduce task covers a contiguous bucket/term range — so
+        # the partitionBy("bucket") write emits ~1 term-sorted file per
+        # task instead of tasks x buckets fragments, and queries prune
+        # directories by bucket then row-groups by term min/max.
+        partials = (
+            analyzed.select("doc_id", "terms", "tfs", "positions", "weight")
+            .mapInArrow(_partial_block_encoder(self.block_span), POSTINGS_SCHEMA)
+            .withColumn("bucket", term_bucket_col(F.col("term"), self.term_buckets))
+        )
+        # persisted: the range partitioner's sampling pass and the write
+        # pass both consume it (one encode, not two)
+        partials.persist(StorageLevel.MEMORY_AND_DISK)
         (
-            partials.groupBy("term", "block_id")
-            .applyInPandas(_merge_segments, POSTINGS_SCHEMA)
-            .sortWithinPartitions("term", "block_id")
+            partials.repartitionByRange(
+                self.write_partitions, "bucket", "term", "block_id"
+            )
+            .mapInArrow(_merge_sorted_partition, POSTINGS_BUCKETED_SCHEMA)
             .write.mode("overwrite")
+            .partitionBy("bucket")
             .parquet(self._p("postings", f"chunk={chunk}"))
         )
+        partials.unpersist()
         t3 = time.time()
 
         # unstemmed vocabulary for the k-gram index (reference adds the
@@ -445,9 +545,13 @@ class IndexBuilder:
             F.sum("df_block").cast("long").alias("df"),
             F.sum("sum_tf").cast("long").alias("cf"),
         )
-        terms.repartition(1).sortWithinPartitions("term").write.mode(
-            "overwrite"
-        ).parquet(self._p("terms"))
+        # hash-partitioned + term-sorted like the kgrams table: lookups
+        # go through an isin-pushed broadcast join, never a sorted
+        # single file — a repartition(1) funnel would OOM one task at
+        # 10^12-doc vocabulary sizes
+        terms.repartition(self.write_partitions, "term").sortWithinPartitions(
+            "term"
+        ).write.mode("overwrite").parquet(self._p("terms"))
 
         vocab = (
             self.spark.read.parquet(self._p("vocab_chunks"))
@@ -470,6 +574,7 @@ class IndexBuilder:
                 {
                     "num_docs": num_docs,
                     "block_span": self.block_span,
+                    "term_buckets": self.term_buckets,
                     "format_version": FORMAT_VERSION,
                 },
                 f,

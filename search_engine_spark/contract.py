@@ -203,6 +203,77 @@ def _cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+# LSH ANN parameters shared by the Spark plan and the generated oracle
+# (the testdata embeddings are 64-dimensional)
+EMB_DIM = 64
+LSH_PLANES, LSH_TABLES = 8, 4
+
+
+def _cosine_pairs_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs_lsh(
+        _emb(spark, sf),
+        threshold=COSINE_T,
+        n_planes=LSH_PLANES,
+        n_tables=LSH_TABLES,
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _fold_dot_sql(vec_expr: str, plane) -> str:
+    """Left-to-right fold dot product — the exact addition order of the
+    Spark side's ``F.aggregate(zip_with(...), 0.0, acc + x)``, so the
+    float result (and its sign) is bit-identical."""
+    lits = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({vec_expr}, {lits}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+
+def _lsh_pairs_sql() -> str:
+    """DuckDB oracle for :func:`similarity.embedding_near_dup_pairs_lsh`
+    with the module's seed/plane/table parameters: per-table hyperplane
+    bucket assignment (plane literals inlined from the same seeded
+    numpy generator), bucket self-join candidates, exact-cosine verify.
+    """
+    tables = []
+    for t in range(LSH_TABLES):
+        planes = similarity.random_hyperplanes(
+            EMB_DIM, LSH_PLANES, similarity.DEFAULT_SEED + 1000 * t
+        )
+        bits = " + ".join(
+            f"(CASE WHEN {_fold_dot_sql('embedding', p)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        tables.append(
+            f"SELECT vec_id, embedding, l2, {t} AS tbl, CAST({bits} AS BIGINT) AS bucket FROM nrm"
+        )
+    return f"""WITH {COSINE_SQL},
+    bk AS ({' UNION ALL '.join(tables)}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round({_dot('a.embedding', 'b.embedding')} / (a.l2 * b.l2), 6) AS cosine
+    FROM cand c
+    JOIN nrm a ON a.vec_id = c.id_a
+    JOIN nrm b ON b.vec_id = c.id_b
+    WHERE {_dot('a.embedding', 'b.embedding')} / (a.l2 * b.l2) >= {COSINE_T}"""
+
+
+def _ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb(spark, sf)
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    data = emb.where("vec_id <> 0")
+    cents = similarity.ivf_centroids(data, n_centroids=8, n_iters=3)
+    assigned = similarity.ivf_assign(data, cents)
+    return similarity.ann_ivf_topk(assigned, cents, qv, k=10, n_probe=3).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def _quality(spark: SparkSession, sf: str) -> DataFrame:
     q = textstats.quality_scores(_doc(spark, sf))
     return q.select(
@@ -584,9 +655,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
           ) AS rn FROM events
         ) WHERE rn = 1""",
     ),
+    # scalable near-dup path (bucket-join-verify, no cross join) —
+    # oracle replicates the hyperplane LSH bit-identically
+    "embed_near_dups_lsh": (_cosine_pairs_lsh, _lsh_pairs_sql()),
     # ---- rows-only entries (not ANSI-SQL-expressible)
     "engine_ranked_porter": (_engine_ranked, None),
     "ann_lsh_topk": (_ann_lsh, None),
+    "ann_ivf_topk": (_ann_ivf, None),
     "multimodal_features": (_multimodal, None),
 }
 

@@ -22,7 +22,6 @@ import json
 import os
 import re
 import shlex
-from collections import Counter
 from math import log
 from functools import reduce
 
@@ -32,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from search_engine_spark.build import IndexBuilder
+from search_engine_spark.build import IndexBuilder  # noqa: F401  (re-export)
 from search_engine_spark.functions import codec
 from search_engine_spark.text.kgrams import kgrams, wildcard_grams
 from search_engine_spark.text.normalize import query_normalize, remove_special_characters
@@ -83,16 +82,20 @@ def _block_set_op(n_required: int | None):
     whatever terms are present (``utils.py:54-92``)."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        arrs: dict[object, np.ndarray] = {}
+        # accumulate per term (never overwrite): (term, block_id) rows
+        # are unique by construction, but segments concatenate safely
+        # if an old/foreign index ever violates that
+        arrs: dict[object, list[np.ndarray]] = {}
         for term, blob in zip(pdf["term"], pdf["postings_bin"]):
             d, _ = codec.decode_postings(bytes(blob))
-            arrs[term] = d
+            arrs.setdefault(term, []).append(d)
+        merged = [np.concatenate(v) if len(v) > 1 else v[0] for v in arrs.values()]
         if n_required is None:
-            out = np.unique(np.concatenate(list(arrs.values())))
-        elif len(arrs) < n_required:
+            out = np.unique(np.concatenate(merged))
+        elif len(merged) < n_required:
             out = np.empty(0, dtype=np.int64)
         else:
-            out = reduce(np.intersect1d, arrs.values())
+            out = reduce(np.intersect1d, merged)
         return pd.DataFrame({"doc_id": out})
 
     return run
@@ -136,6 +139,7 @@ class TranscriptSearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
         self.spark = spark
         self.index_dir = index_dir
+        self.cache = cache
         with open(os.path.join(index_dir, "_meta.json")) as f:
             meta = json.load(f)
         from search_engine_spark.build import FORMAT_VERSION
@@ -148,36 +152,86 @@ class TranscriptSearchEngine:
             )
         self.num_docs: int = meta["num_docs"]
         self.block_span: int = meta["block_span"]
-        p = lambda name: os.path.join(index_dir, name)  # noqa: E731
+        self.term_buckets: int = meta["term_buckets"]
+        self._tables: dict[str, DataFrame] = {}
 
-        def load(name: str):
-            """Read an index table, right-sized for caching.
+    def _load(self, name: str) -> DataFrame:
+        """Lazily read an index table, right-sized for caching.
 
-            Partition count scales with on-disk bytes (1 per 32 MB,
-            capped at shuffle.partitions): a small index collapses to a
-            handful of cached partitions so query stages schedule a
-            handful of tasks, while a 100 TB index keeps full
-            parallelism. Tasks per stage, not bytes, dominate latency
-            at the small end.
-            """
-            df = spark.read.parquet(p(name))
-            if cache:
-                limit = int(spark.conf.get("spark.sql.shuffle.partitions"))
-                nbytes = sum(
-                    os.path.getsize(os.path.join(root, f))
-                    for root, _d, files in os.walk(p(name))
-                    for f in files
-                )
-                parts = max(1, min(limit, nbytes // (32 << 20) + 1))
-                df = df.coalesce(int(parts))
-                df.persist(StorageLevel.MEMORY_AND_DISK)
-            return df
+        Tables load on FIRST USE, not at engine open: a ranked/boolean
+        session never touches kgrams or doc_stats, so it never pays
+        their scan or cache memory. Cached partition count scales with
+        on-disk bytes (1 per 32 MB, capped at shuffle.partitions): a
+        small index collapses to a handful of cached partitions so
+        query stages schedule a handful of tasks, while a 100 TB index
+        keeps full parallelism.
+        """
+        if name in self._tables:
+            return self._tables[name]
+        path = os.path.join(self.index_dir, name)
+        df = self.spark.read.parquet(path)
+        if self.cache and name != "docs":
+            limit = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            nbytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _d, files in os.walk(path)
+                for f in files
+            )
+            parts = max(1, min(limit, nbytes // (32 << 20) + 1))
+            df = df.coalesce(int(parts))
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._tables[name] = df
+        return df
 
-        self.postings = load("postings")
-        self.terms = load("terms")
-        self.doc_stats = load("doc_stats")
-        self.kgrams = load("kgrams")
-        self.docs = spark.read.parquet(p("docs"))
+    @property
+    def postings(self) -> DataFrame:
+        return self._load("postings")
+
+    @property
+    def terms(self) -> DataFrame:
+        return self._load("terms")
+
+    @property
+    def doc_stats(self) -> DataFrame:
+        return self._load("doc_stats")
+
+    @property
+    def kgrams(self) -> DataFrame:
+        return self._load("kgrams")
+
+    @property
+    def docs(self) -> DataFrame:
+        return self._load("docs")
+
+    # ------------------------------------------------------- pruned scans
+    def _postings_for_terms(self, terms) -> DataFrame:
+        """Postings scan restricted to ``terms`` — the reference's
+        query-restricted index load (``diskindex.py:59-80``) as storage
+        pruning: ``bucket.isin`` prunes whole directories (partition
+        filter, no footer reads), ``term.isin`` is pushed into the
+        Parquet scan where row-group min/max on the term-sorted files
+        skips everything else. Query I/O is O(query terms), not
+        O(index size) — the point of the reference's B-tree dictionary
+        (``diskindex.py:203``)."""
+        from search_engine_spark.build import term_bucket
+
+        uniq = sorted(set(terms))
+        buckets = sorted({term_bucket(t, self.term_buckets) for t in uniq})
+        return self.postings.where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(uniq)
+        )
+
+    def _term_dfs(self, terms) -> dict[str, int]:
+        """Document frequencies from the dictionary (``query.py:80``) —
+        an isin-pushed scan of the terms table; only matching row
+        groups are read."""
+        uniq = sorted(set(terms))
+        rows = (
+            self.terms.where(F.col("term").isin(uniq))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: r["df"] for r in rows}
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -214,105 +268,115 @@ class TranscriptSearchEngine:
 
         Postings are stored per (term, doc-range block) with
         ``max_partial`` = max over the block of (1+ln tf)/L_d
-        (``build.py::_partial_block_encoder``). Since a doc's terms all live in
-        the doc's own block range, the per-block score upper bound is
+        (``build.py::_partial_block_encoder``). Since a doc's terms all
+        live in the doc's own block range, the per-block score upper
+        bound is
 
-            ub(b) = sum over query terms t present in b of wqt_t * max_partial_{t,b}
+            ub(b) = sum over query terms t present in b of m_t * wqt_t * max_partial_{t,b}
 
-        The driver fetches the tiny (term, block, max_partial, df_block)
-        metadata — never the posting bytes (Catalyst prunes the binary
-        columns from the scan) — then:
+        Block selection is CLUSTER-SIDE: one DataFrame aggregation over
+        the term-pruned metadata columns (the binary posting columns
+        are never scanned — Catalyst prunes them) computes ub per
+        block; the driver collects only
 
-        1. exactly scores the most promising blocks (greedy by ub until
-           >= 4k candidate postings are covered),
-        2. takes the running k-th score L as a threshold,
-        3. exactly scores any remaining block with ub >= L (a pruned
-           block cannot contain a doc with score > L, nor a score == L
-           tie, because ties break on doc_id only among EQUAL scores and
-           ub >= score for every doc in the block),
-        4. repeats (at most once in practice) until no unscored block's
-           ub reaches the current k-th score.
+        1. the top ``max(k, 32)`` block ids by ub (a distributed
+           TakeOrdered — each block holds >= 1 doc and blocks partition
+           the doc space, so these yield >= k exact candidate scores
+           and hence the running k-th score L), then
+        2. the ids of remaining blocks with ub >= L (WAND's survivors;
+           a pruned block cannot contain a doc with score > L, nor a
+           score == L tie, because ties break on doc_id only among
+           EQUAL scores and ub >= score for every doc in the block).
 
-        Each round's exact scoring is the same DataFrame plan as the
-        exhaustive path, restricted by a broadcast (term, block_id)
-        filter — so correctness reduces to the threshold argument above.
+        At a 10^12-turn corpus a stopword query has ~15M blocks; the
+        driver never sees them — only the handful whose upper bound
+        survives. Each round's exact scoring is the same plan as the
+        exhaustive path restricted to the selected block ids, so
+        correctness reduces to the threshold argument above. The ub
+        comparison carries a 1e-9 relative slack so float re-association
+        between the JVM aggregate and the numpy scorer can only ever
+        UNDER-prune (score a few extra blocks), never over-prune.
         """
-        terms = self._ranked_terms(query)
-        if not terms:
+        occurrences = self._weighted_occurrences(self._ranked_terms(query))
+        if not occurrences:
+            self._last_wand_stats = {"round1_blocks": 0, "round2_blocks": 0}
             return []
-        counts = Counter(terms)
-        qdf = self.spark.createDataFrame(
-            [(t, m) for t, m in counts.items()], "term string, mult int"
+        # total per-term weight for the upper bound (m_t * wqt_t >=
+        # per-occurrence accumulation up to float re-association; the
+        # slack below absorbs that)
+        by_term: dict[str, float] = {}
+        for t, _i, w in occurrences:
+            by_term[t] = by_term.get(t, 0.0) + w
+        wdf = self.spark.createDataFrame(
+            list(by_term.items()), "term string, wqt double"
         )
         meta = (
-            self.postings.join(F.broadcast(qdf), "term")
-            .select("term", "block_id", "max_partial", "df_block")
-            .collect()
+            self._postings_for_terms(by_term)
+            .join(F.broadcast(wdf), "term")
+            .groupBy("block_id")
+            .agg(F.sum(F.col("wqt") * F.col("max_partial")).alias("ub"))
         )
-        if not meta:
-            return []
-        df_rows = self.terms.join(F.broadcast(qdf), "term").select("term", "df").collect()
-        dfs = {r["term"]: r["df"] for r in df_rows}
-        wqt = {
-            t: float(m * log(1 + self.num_docs / dfs[t]))
-            for t, m in counts.items()
-            if dfs.get(t)
-        }
-        # per-block upper bound and posting volume
-        blocks: dict[int, dict] = {}
-        for r in meta:
-            if r["term"] not in wqt:
-                continue
-            b = blocks.setdefault(r["block_id"], {"ub": 0.0, "n": 0, "pairs": []})
-            b["ub"] += wqt[r["term"]] * r["max_partial"]
-            b["n"] += r["df_block"]
-            b["pairs"].append((r["term"], r["block_id"]))
-        if not blocks:
-            return []
-        order = sorted(blocks, key=lambda b: (-blocks[b]["ub"], b))
-
-        scored: dict[int, float] = {}
-        remaining = list(order)
-        top: list[tuple[int, float]] = []
-        threshold = float("-inf")
-        while remaining:
-            if len(top) == k:
-                # prune strictly-below-threshold blocks; keep ub == L blocks
-                # (they could still produce a doc_id-tie-winning equal score)
-                remaining = [b for b in remaining if blocks[b]["ub"] >= threshold]
-                if not remaining:
-                    break
-            batch, volume = [], 0
-            while remaining and volume < 4 * k:
-                b = remaining.pop(0)
-                batch.append(b)
-                volume += blocks[b]["n"]
-            pairs = [p for b in batch for p in blocks[b]["pairs"]]
-            for doc_id, score in self._score_blocks(pairs, wqt):
-                scored[doc_id] = score
+        meta.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_probe = max(k, 32)
+            round1 = [
+                r["block_id"]
+                for r in meta.orderBy(F.desc("ub"), F.asc("block_id"))
+                .limit(n_probe)
+                .collect()
+            ]
+            if not round1:
+                self._last_wand_stats = {"round1_blocks": 0, "round2_blocks": 0}
+                return []
+            scored = self._score_block_ids(occurrences, round1)
             top = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
-            if len(top) == k:
+            round2: list[int] = []
+            if len(top) == k and len(round1) == n_probe:
                 threshold = top[-1][1]
+                slack = abs(threshold) * 1e-9
+                round2 = [
+                    r["block_id"]
+                    for r in meta.where(
+                        (F.col("ub") >= threshold - slack)
+                        & ~F.col("block_id").isin(round1)
+                    )
+                    .select("block_id")
+                    .collect()
+                ]
+                if round2:
+                    scored.update(self._score_block_ids(occurrences, round2))
+                    top = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
+        finally:
+            meta.unpersist()
+        self._last_wand_stats = {
+            "round1_blocks": len(round1),
+            "round2_blocks": len(round2),
+        }
         return top
 
-    def _score_blocks(
-        self, pairs: list[tuple[str, int]], wqt: dict[str, float]
-    ) -> list[tuple[int, float]]:
-        """Exact scores for docs in the given (term, block_id) cells."""
-        qidx = {t: i for i, t in enumerate(wqt)}
-        pdf = self.spark.createDataFrame(
-            [(t, b, qidx[t], wqt[t]) for t, b in pairs],
-            "term string, block_id long, qidx int, wqt double",
+    def _score_block_ids(
+        self, occurrences: list[tuple[str, int, float]], block_ids: list[int]
+    ) -> dict[int, float]:
+        """Exact scores for every doc in the given blocks (all query
+        terms of those blocks participate — blocks partition the doc
+        space, so each doc's score is complete within its block)."""
+        wdf = self.spark.createDataFrame(
+            occurrences, "term string, qidx int, wqt double"
         )
-        cells = self.postings.join(F.broadcast(pdf), ["term", "block_id"]).select(
-            "block_id", "qidx", "wqt", "postings_bin", "weights_bin"
+        cells = (
+            self._postings_for_terms([t for t, _i, _w in occurrences])
+            .where(F.col("block_id").isin([int(b) for b in block_ids]))
+            .join(F.broadcast(wdf), "term")
+            .select("block_id", "qidx", "wqt", "postings_bin", "weights_bin")
         )
         pdf = (
             cells.groupBy("block_id")
             .applyInPandas(_block_scorer(None), "doc_id long, score double")
             .toPandas()
         )
-        return list(zip((int(d) for d in pdf["doc_id"]), (float(s) for s in pdf["score"])))
+        return {
+            int(d): float(s) for d, s in zip(pdf["doc_id"], pdf["score"])
+        }
 
     def _ranked_terms(self, query: str) -> list[str]:
         """Normalized query term list, wildcards expanded, duplicates kept
@@ -327,31 +391,36 @@ class TranscriptSearchEngine:
                 out.append(query_normalize(word))
         return out
 
+    def _weighted_occurrences(
+        self, terms: list[str]
+    ) -> list[tuple[str, int, float]]:
+        """(term, qidx, wqt) with one row PER QUERY-TERM OCCURRENCE —
+        the reference accumulates a repeated term once per occurrence
+        (``query.py:73-83``), and float addition is not associative, so
+        folding ``m * wqt`` would be up to an ulp off for odd
+        multiplicities. qidx preserves the reference's term-at-a-time
+        addition order."""
+        dfs = self._term_dfs(set(terms))
+        return [
+            (t, i, float(log(1 + self.num_docs / dfs[t])))
+            for i, t in enumerate(terms)
+            if dfs.get(t)
+        ]
+
     def _score_terms_df(self, terms: list[str], k: int) -> DataFrame:
         spark = self.spark
         empty = spark.createDataFrame([], "doc_id long, score double")
         if not terms:
             return empty
-        counts = Counter(terms)
-        # df lookup for wqt — one tiny broadcast-join job (the reference's
+        # df lookup for wqt — one tiny pruned-scan job (the reference's
         # dictionary point lookups, query.py:80); its result is a handful
         # of floats, so folding them into the scoring plan as literals
         # keeps the main job to two stages (decode+explode, agg+top-k).
-        qdf = spark.createDataFrame(
-            [(t, m) for t, m in counts.items()], "term string, mult int"
-        )
-        df_rows = self.terms.join(F.broadcast(qdf), "term").select("term", "df").collect()
-        dfs = {r["term"]: r["df"] for r in df_rows}
-        weighted = [
-            (t, float(m * log(1 + self.num_docs / dfs[t])))
-            for t, m in counts.items()
-            if dfs.get(t)
-        ]
-        if not weighted:
+        occurrences = self._weighted_occurrences(terms)
+        if not occurrences:
             return empty
         wdf = spark.createDataFrame(
-            [(t, i, w) for i, (t, w) in enumerate(weighted)],
-            "term string, qidx int, wqt double",
+            occurrences, "term string, qidx int, wqt double"
         )
         # Blocks partition the doc space, so each doc's score is COMPLETE
         # within its block: one applyInPandas over (term, block) cells
@@ -363,8 +432,10 @@ class TranscriptSearchEngine:
         # Partials accumulate in query-term order (qidx), the exact
         # float-addition order of the reference's term-at-a-time loop
         # (query.py:78-83).
-        cells = self.postings.join(F.broadcast(wdf), "term").select(
-            "block_id", "qidx", "wqt", "postings_bin", "weights_bin"
+        cells = (
+            self._postings_for_terms([t for t, _i, _w in occurrences])
+            .join(F.broadcast(wdf), "term")
+            .select("block_id", "qidx", "wqt", "postings_bin", "weights_bin")
         )
         scored = cells.groupBy("block_id").applyInPandas(
             _block_scorer(k), "doc_id long, score double"
@@ -378,6 +449,16 @@ class TranscriptSearchEngine:
         # cheaper than driver-side Row objects from collect()
         df = self.boolean_query_df(query)
         return [int(x) for x in df.toPandas()["doc_id"].to_numpy()]
+
+    def boolean_query_iter(self, query: str, batch_rows: int = 10_000):
+        """Streaming cursor over a boolean result (reference
+        ``utils.py:95-102``, the SQLite ``fetchmany`` generator): yields
+        doc_ids one at a time via ``toLocalIterator`` — partitions are
+        fetched on demand, so a corpus-sized result set never
+        materializes on the driver."""
+        df = self.boolean_query_df(query)
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            yield int(row["doc_id"])
 
     def boolean_query_df(self, query: str) -> DataFrame:
         literals = [lit.strip() for lit in query.split("+")]
@@ -432,8 +513,7 @@ class TranscriptSearchEngine:
         intersect in numpy (``utils.py:33-51`` at block granularity) —
         block results are disjoint, so their union needs no dedup."""
         uniq = sorted(set(terms))
-        qdf = self.spark.createDataFrame([(t,) for t in uniq], "term string")
-        cells = self.postings.join(F.broadcast(qdf), "term").select(
+        cells = self._postings_for_terms(uniq).select(
             "block_id", "term", "postings_bin"
         )
         return cells.groupBy("block_id").applyInPandas(
@@ -443,8 +523,7 @@ class TranscriptSearchEngine:
     def _any_term_df(self, terms: list[str]) -> DataFrame:
         """Docs containing ANY of ``terms`` (OR within, used for single
         terms and wildcard expansions): per-block sorted union."""
-        qdf = self.spark.createDataFrame([(t,) for t in set(terms)], "term string")
-        cells = self.postings.join(F.broadcast(qdf), "term").select(
+        cells = self._postings_for_terms(terms).select(
             "block_id", "term", "postings_bin"
         )
         return cells.groupBy("block_id").applyInPandas(
@@ -459,8 +538,10 @@ class TranscriptSearchEngine:
         qdf = self.spark.createDataFrame(
             [(t, i) for i, t in enumerate(terms)], "term string, slot int"
         )
-        cells = self.postings.join(F.broadcast(qdf), "term").select(
-            "block_id", "slot", "postings_bin", "positions_bin"
+        cells = (
+            self._postings_for_terms(terms)
+            .join(F.broadcast(qdf), "term")
+            .select("block_id", "slot", "postings_bin", "positions_bin")
         )
         return cells.groupBy("block_id").applyInPandas(
             _block_phrase(n, self.block_span), "doc_id long"
@@ -474,9 +555,8 @@ class TranscriptSearchEngine:
         grams = wildcard_grams(pattern)
         if not grams:
             return []
-        gdf = self.spark.createDataFrame([(g,) for g in grams], "gram string")
         rows = (
-            self.kgrams.join(F.broadcast(gdf), "gram")
+            self.kgrams.where(F.col("gram").isin(sorted(grams)))
             .groupBy("word")
             .agg(F.count_distinct("gram").alias("ng"))
             .where(F.col("ng") == len(grams))
@@ -513,28 +593,27 @@ class TranscriptSearchEngine:
 
     def select_best_spelling(self, term: str) -> str | None:
         """Best candidate by (Jaccard > 0.35) -> min edit distance -> max df
-        (reference ``query.py:61-67``, ``kgram.py:66-91``)."""
+        (reference ``query.py:61-67``, ``kgram.py:66-91``).
+
+        df ties pick the alphabetically-FIRST candidate — a documented,
+        deterministic divergence from the reference, which keeps the
+        first candidate in k-gram-index insertion order (``query.py:67``,
+        an artifact of Python dict ordering that a distributed vocab
+        does not reproduce). The golden spelling tests pin this.
+        """
         candidates = self.find_spelling_candidates(term, JACCARD_THRESHOLD)
         if not candidates:
             return None
         # df of each candidate's stemmed form (reference get_doc_frequency
         # normalizes first, diskindex.py:29)
-        cdf = self.spark.createDataFrame(
-            [(w, query_normalize(w)) for w in candidates], "word string, term string"
-        )
-        rows = (
-            cdf.join(self.terms.select("term", "df"), "term", "left")
-            .select("word", F.coalesce("df", F.lit(0)).alias("df"))
-            .collect()
-        )
-        dfs = {r["word"]: r["df"] for r in rows}
-        return max(sorted(candidates), key=lambda w: dfs.get(w, 0))
+        stems = {w: query_normalize(w) for w in candidates}
+        dfs_by_stem = self._term_dfs(set(stems.values()))
+        return max(sorted(candidates), key=lambda w: dfs_by_stem.get(stems[w], 0))
 
     def find_spelling_candidates(self, qword: str, threshold: float) -> list[str]:
         qgrams = kgrams(qword)
-        gdf = self.spark.createDataFrame([(g,) for g in qgrams], "gram string")
         cand = (
-            self.kgrams.join(F.broadcast(gdf), "gram")
+            self.kgrams.where(F.col("gram").isin(sorted(set(qgrams))))
             .groupBy("word", "n_grams")
             .agg(F.count_distinct("gram").alias("n_common"))
             .withColumn(

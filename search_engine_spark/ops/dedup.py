@@ -299,6 +299,26 @@ def simhash_table(
     return per_bit.select(id_col, packed.cast("long").alias("simhash"))
 
 
+def _chunks_for(max_hamming: int) -> int:
+    """Smallest usable chunk count guaranteeing pigeonhole recall for
+    ``max_hamming``: a pair within Hamming h agrees on >= 1 of c chunks
+    only when c >= h + 1, and c must divide SIMHASH_BITS so chunks are
+    equal-width. Fewer chunks would silently MISS qualifying pairs."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    candidates = [
+        c
+        for c in range(max(SIMHASH_CHUNKS, max_hamming + 1), SIMHASH_BITS + 1)
+        if SIMHASH_BITS % c == 0
+    ]
+    if not candidates:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more than {SIMHASH_BITS} "
+            f"chunks of a {SIMHASH_BITS}-bit simhash; use a wider sketch"
+        )
+    return candidates[0]
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -307,12 +327,15 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= ``max_hamming``.
 
-    Banding by ``SIMHASH_CHUNKS`` 12-bit chunks: any pair within
-    Hamming ``SIMHASH_CHUNKS - 1`` agrees on at least one chunk
-    (pigeonhole), so candidates come from equality self-joins on chunk
-    values — linear, no cross join. Verified with ``bit_count(xor)``.
+    Banding by equal-width chunks (``max_hamming + 1`` of them, rounded
+    up to a divisor of ``SIMHASH_BITS``; never fewer than
+    ``SIMHASH_CHUNKS``): any pair within Hamming ``chunks - 1`` agrees
+    on at least one chunk (pigeonhole), so candidates come from
+    equality self-joins on chunk values — linear, no cross join.
+    Verified with ``bit_count(xor)``.
     """
-    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    n_chunks = _chunks_for(max_hamming)
+    chunk_bits = SIMHASH_BITS // n_chunks
     mask = (1 << chunk_bits) - 1
     # the sketch table feeds both sides of the chunk self-join
     sh = simhash_table(df, text_col, id_col).localCheckpoint()
@@ -328,7 +351,7 @@ def simhash_near_dup_pairs(
                         .bitwiseAND(F.lit(mask))
                         .alias("ckey"),
                     )
-                    for c in range(SIMHASH_CHUNKS)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ck"),

@@ -177,6 +177,50 @@ def ann_lsh_topk(
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
+def lsh_partitioned_write(bucketed: DataFrame, path: str) -> None:
+    """Persist an LSH-bucketed table partitioned by (table, bucket).
+
+    Probes against the written table read only their n_tables matching
+    directories (PartitionFilters — no footer reads outside them),
+    which is what makes single-query ANN sub-linear at 10^9+ vectors.
+    One ``repartition`` on the partition keys keeps it to ~1 file per
+    populated (table, bucket) directory instead of tasks x buckets
+    fragments.
+    """
+    (
+        bucketed.repartition("table", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("table", "bucket")
+        .parquet(path)
+    )
+
+
+def ann_lsh_topk_from_path(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over a table written by :func:`lsh_partitioned_write`:
+    the (table, bucket) predicates hit partition directories, so the
+    scan touches only the query's n_tables buckets."""
+    return ann_lsh_topk(
+        spark.read.parquet(path),
+        query_vec,
+        k,
+        n_planes,
+        n_tables,
+        seed,
+        id_col,
+        vec_col,
+    )
+
+
 def embedding_near_dup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.95,

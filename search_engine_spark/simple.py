@@ -86,7 +86,13 @@ def ranked_topk(
     spark = docs.sparkSession
     n_docs = docs.count()
     tf = tf_table(docs, text_col, id_col)
-    weights = doc_weight_table(tf, id_col)
+    # UNROUNDED L_d: dividing by doc_weight_table's display-rounded
+    # weight injects ~1e-8 relative error, enough to flip the score's
+    # own 6-dp rounding against an oracle that divides by the exact
+    # weight (observed at sf0.001, doc 127)
+    weights = tf.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.pow(F.lit(1.0) + F.log("tf"), F.lit(2.0)))).alias("weight")
+    )
     qdf = spark.createDataFrame([(t,) for t in set(query_terms)], "term string")
     dfs = term_stats(tf).join(F.broadcast(qdf), "term").select("term", "df")
     scored = (

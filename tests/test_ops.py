@@ -221,3 +221,73 @@ def test_real_decode_raises(spark):
     media = multimodal.synthetic_media(spark, 3)
     with pytest.raises(Exception):
         multimodal.extract_features(media, decode="real").collect()
+
+
+# ------------------------------------------------ partitioned ANN storage
+def test_lsh_partitioned_write_prunes_probes(spark, emb, tmp_path):
+    """Probes against the partitioned LSH table must hit (table, bucket)
+    PartitionFilters and read strictly fewer files than a full scan."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "lsh")
+    bucketed = similarity.lsh_bucketed(emb, n_planes=4, n_tables=2)
+    similarity.lsh_partitioned_write(bucketed, path)
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+
+    probe = similarity.ann_lsh_topk_from_path(
+        spark, path, qv, k=5, n_planes=4, n_tables=2
+    )
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
+
+    full = spark.read.parquet(path)
+    files_all = full.select(F.input_file_name()).distinct().count()
+    qbuckets = similarity.ann_lsh_topk(
+        spark.read.parquet(path), qv, k=5, n_planes=4, n_tables=2
+    )
+    files_probe = (
+        qbuckets.select(F.input_file_name()).distinct().count()
+    )
+    assert files_probe < files_all
+
+    # result identity vs the in-memory (unpartitioned) path
+    mem = similarity.ann_lsh_topk(bucketed, qv, k=5, n_planes=4, n_tables=2)
+    assert sorted(probe.collect()) == sorted(mem.collect())
+
+
+# ------------------------------------------------- simhash chunk derivation
+def test_simhash_chunks_derived_from_max_hamming():
+    assert dedup._chunks_for(0) == 4
+    assert dedup._chunks_for(3) == 4
+    assert dedup._chunks_for(5) == 6
+    assert dedup._chunks_for(7) == 8
+    assert dedup._chunks_for(11) == 12
+    with pytest.raises(ValueError):
+        dedup._chunks_for(-1)
+    with pytest.raises(ValueError):
+        dedup._chunks_for(dedup.SIMHASH_BITS)
+
+
+def test_simhash_high_hamming_recall(docs):
+    """max_hamming beyond the default chunk guarantee must still find
+    every qualifying pair (regression: 4 chunks only guarantee h<=3)."""
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(docs, max_hamming=8).collect()
+    }
+    # brute-force oracle over the sketch table
+    sk = {r["doc_id"]: r["simhash"] for r in dedup.simhash_table(docs).collect()}
+    ids = sorted(sk)
+    expected = {
+        (a, b): bin(sk[a] ^ sk[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sk[a] ^ sk[b]).count("1") <= 8
+    }
+    assert got == expected

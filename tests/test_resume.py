@@ -23,16 +23,54 @@ def test_chunked_build_equals_single_chunk(spark, tmp_path):
     df = synthetic_transcripts(spark, n_convs=12, turns_per_conv=5)
     one = str(tmp_path / "one")
     many = str(tmp_path / "many")
-    IndexBuilder(spark, one).build(df)
-    metrics = IndexBuilder(spark, many).build(df, chunk_docs=17)
-    assert metrics["n_chunks"] == 4
+    IndexBuilder(spark, one, block_span=16).build(df)
+    # chunk_docs=17 is rounded UP to a whole number of 16-doc blocks
+    # (32): a boundary inside a block would split (term, block_id) rows
+    # across chunks
+    metrics = IndexBuilder(spark, many, block_span=16).build(df, chunk_docs=17)
+    assert metrics["n_chunks"] == 2
     assert _index_content(spark, one) == _index_content(spark, many)
+
+
+def test_chunked_build_unique_block_keys_and_query_parity(spark, tmp_path):
+    """Regression: misaligned chunk boundaries used to emit the same
+    (term, block_id) from two chunks, silently corrupting boolean AND
+    and WAND results (set ops assumed the key unique)."""
+    df = synthetic_transcripts(spark, n_convs=12, turns_per_conv=5)  # 60 docs
+    one = str(tmp_path / "one")
+    many = str(tmp_path / "many")
+    IndexBuilder(spark, one, block_span=16).build(df)
+    IndexBuilder(spark, many, block_span=16).build(df, chunk_docs=17)
+
+    from pyspark.sql import functions as F
+
+    posts = spark.read.parquet(os.path.join(many, "postings"))
+    dup = (
+        posts.groupBy("term", "block_id")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+    from search_engine_spark.engine import TranscriptSearchEngine
+
+    e1 = TranscriptSearchEngine(spark, one, cache=False)
+    e2 = TranscriptSearchEngine(spark, many, cache=False)
+    q_and = "test document"
+    assert e1.boolean_query(q_and) == e2.boolean_query(q_and)
+    q_ranked = "test here one"
+    assert e1.ranked_query(q_ranked, k=10) == e2.ranked_query(q_ranked, k=10)
+    assert (
+        e2.ranked_query(q_ranked, k=10, pruned=True)
+        == e2.ranked_query(q_ranked, k=10)
+    )
 
 
 def test_resume_skips_committed_chunks_and_rebuilds_missing(spark, tmp_path):
     df = synthetic_transcripts(spark, n_convs=10, turns_per_conv=4)
     idx = str(tmp_path / "idx")
-    first = IndexBuilder(spark, idx).build(df, chunk_docs=15)
+    first = IndexBuilder(spark, idx, block_span=8).build(df, chunk_docs=15)
     baseline = _index_content(spark, idx)
     assert first["n_chunks"] == 3
 
@@ -40,7 +78,9 @@ def test_resume_skips_committed_chunks_and_rebuilds_missing(spark, tmp_path):
     os.remove(os.path.join(idx, "manifest", "chunk_1.json"))
     shutil.rmtree(os.path.join(idx, "postings", "chunk=1"))
 
-    resumed = IndexBuilder(spark, idx).build(df, chunk_docs=15, resume=True)
+    resumed = IndexBuilder(spark, idx, block_span=8).build(
+        df, chunk_docs=15, resume=True
+    )
     assert resumed["n_chunks"] == 3
     assert _index_content(spark, idx) == baseline
     # committed chunks were not rebuilt: their manifest entries are reused
@@ -54,7 +94,7 @@ def test_resume_skips_committed_chunks_and_rebuilds_missing(spark, tmp_path):
 def test_manifest_metrics_recorded(spark, tmp_path):
     df = synthetic_transcripts(spark, n_convs=6, turns_per_conv=3)
     idx = str(tmp_path / "idx")
-    metrics = IndexBuilder(spark, idx).build(df, chunk_docs=9)
+    metrics = IndexBuilder(spark, idx, block_span=8).build(df, chunk_docs=9)
     for chunk_file in os.listdir(os.path.join(idx, "manifest")):
         with open(os.path.join(idx, "manifest", chunk_file)) as f:
             m = json.load(f)

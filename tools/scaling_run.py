@@ -47,8 +47,9 @@ def run_one(cores: int, input_path: str) -> dict:
     )
     build_secs = time.time() - t0
 
-    # steady-state query batch (caches + workers warmed first)
-    eng.terms.count(), eng.postings.count(), eng.doc_stats.count(), eng.kgrams.count()
+    # steady-state query batch (caches + workers warmed first;
+    # doc_stats deliberately untouched — no query path reads it)
+    eng.terms.count(), eng.postings.count(), eng.kgrams.count()
     eng.ranked_query("warmup")
     t0 = time.time()
     ranked = {q: eng.ranked_query(q) for q in QUERIES_RANKED}
@@ -68,7 +69,12 @@ def run_one(cores: int, input_path: str) -> dict:
     }
 
 
-def orchestrate(turns: int, cores_lo: int, cores_hi: int) -> None:
+def orchestrate(turns: int, cores_lo: int, cores_hi: int, repeats: int) -> None:
+    """Interleaved repeated runs: lo, hi, lo, hi, ... so shared-VM noise
+    hits both legs alike; the headline is the MEDIAN efficiency across
+    repeats (a single pair can ride one throttled leg)."""
+    import statistics
+
     from search_engine_spark.fixtures import synthetic_transcripts
     from search_engine_spark.session import get_spark
 
@@ -80,31 +86,48 @@ def orchestrate(turns: int, cores_lo: int, cores_hi: int) -> None:
                               num_partitions=64).write.mode("overwrite").parquet(input_path)
         spark.stop()
 
-    results = {}
-    for cores in (cores_lo, cores_hi):
+    def one(cores: int) -> dict:
         out = subprocess.run(
             [sys.executable, __file__, "--cores", str(cores), "--input", input_path],
-            capture_output=True, text=True, check=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
-        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo, hi = results[cores_lo], results[cores_hi]
-    ratio = lo["build_secs"] / hi["build_secs"]
-    eff = ratio / (cores_hi / cores_lo)
-    rank_identical = lo["ranked_results"] == hi["ranked_results"]
+    pairs = []
+    for r in range(repeats):
+        lo, hi = one(cores_lo), one(cores_hi)
+        eff = (lo["build_secs"] / hi["build_secs"]) / (cores_hi / cores_lo)
+        pairs.append({"repeat": r, "lo": lo, "hi": hi,
+                      "efficiency": round(eff, 3)})
+        print(f"# repeat {r}: {cores_lo}c {lo['build_secs']}s, "
+              f"{cores_hi}c {hi['build_secs']}s, eff {eff:.3f}",
+              file=sys.stderr)
+
+    effs = [p["efficiency"] for p in pairs]
+    lo0, hi0 = pairs[0]["lo"], pairs[0]["hi"]
     summary = {
-        "n_turns": lo["n_turns"],
+        "n_turns": lo0["n_turns"],
         "cores": [cores_lo, cores_hi],
-        "build_secs": [lo["build_secs"], hi["build_secs"]],
-        "build_turns_per_sec": [lo["build_turns_per_sec"], hi["build_turns_per_sec"]],
-        "query_batch_secs": [lo["query_batch_secs"], hi["query_batch_secs"]],
-        "speedup": round(ratio, 3),
-        "scaling_efficiency": round(eff, 3),
-        "rank_identical_across_parallelism": rank_identical,
-        "boolean_counts_equal": lo["boolean_counts"] == hi["boolean_counts"],
+        "repeats": repeats,
+        "build_secs_lo": [p["lo"]["build_secs"] for p in pairs],
+        "build_secs_hi": [p["hi"]["build_secs"] for p in pairs],
+        "build_turns_per_sec_best_hi": max(
+            p["hi"]["build_turns_per_sec"] for p in pairs
+        ),
+        "efficiencies": effs,
+        "scaling_efficiency_median": round(statistics.median(effs), 3),
+        "scaling_efficiency_min": min(effs),
+        "scaling_efficiency_max": max(effs),
+        "rank_identical_across_parallelism": all(
+            p["lo"]["ranked_results"] == p["hi"]["ranked_results"] for p in pairs
+        ),
+        "boolean_counts_equal": all(
+            p["lo"]["boolean_counts"] == p["hi"]["boolean_counts"] for p in pairs
+        ),
     }
     with open("bench_scaling.json", "w") as f:
-        json.dump({"summary": summary, "runs": results}, f, indent=1)
+        json.dump({"summary": summary, "pairs": pairs}, f, indent=1)
     print(json.dumps(summary, indent=1))
 
 
@@ -115,11 +138,12 @@ def main():
     ap.add_argument("--turns", type=int, default=200_000)
     ap.add_argument("--lo", type=int, default=8)
     ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
     if args.cores:
         print(json.dumps(run_one(args.cores, args.input)))
     else:
-        orchestrate(args.turns, args.lo, args.hi)
+        orchestrate(args.turns, args.lo, args.hi, args.repeats)
 
 
 if __name__ == "__main__":
