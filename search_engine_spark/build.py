@@ -74,7 +74,7 @@ DEFAULT_TERM_BUCKETS = 32
 
 # Bump whenever the on-disk table layout changes (readers refuse
 # mismatched indexes instead of failing mid-query).
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 
 def term_bucket(term: str, n_buckets: int) -> int:
@@ -125,7 +125,8 @@ def doc_weights(tf: DataFrame) -> DataFrame:
 POSTINGS_SCHEMA = (
     "term string, block_id long, df_block int, first_doc_id long, "
     "last_doc_id long, max_tf int, sum_tf long, max_partial double, "
-    "postings_bin binary, weights_bin binary, positions_bin binary"
+    "postings_bin binary, weights_bin binary, positions_bin binary, "
+    "doclens_bin binary"
 )
 
 
@@ -168,6 +169,7 @@ def _encode_partial_blocks_impl(batches, block_span):
         return
     doc_col = tbl.column("doc_id").to_numpy()
     weight_col = tbl.column("weight").to_numpy()
+    doclen_col = tbl.column("doc_len").to_numpy().astype(np.int64)
     terms_list = tbl.column("terms").combine_chunks()
     n_per_doc = pc.list_value_length(terms_list).to_numpy().astype(np.int64)
     dict_arr = terms_list.flatten().dictionary_encode()
@@ -181,14 +183,16 @@ def _encode_partial_blocks_impl(batches, block_span):
 
     doc = np.repeat(doc_col, n_per_doc)
     weight = np.repeat(weight_col, n_per_doc)
+    doclen = np.repeat(doclen_col, n_per_doc)
     block = doc // block_span
     n = doc.size
     if n == 0:
         return
 
     order = np.lexsort((doc, block, codes))
-    codes, block, doc, tf, weight = (
-        codes[order], block[order], doc[order], tf[order], weight[order]
+    codes, block, doc, tf, weight, doclen = (
+        codes[order], block[order], doc[order], tf[order], weight[order],
+        doclen[order],
     )
     lens_o = pos_lens[order]
     row_off = np.concatenate(([0], np.cumsum(lens_o[:-1])))
@@ -207,7 +211,7 @@ def _encode_partial_blocks_impl(batches, block_span):
     cols: dict[str, list] = {k: [] for k in (
         "term", "block_id", "df_block", "first_doc_id", "last_doc_id",
         "max_tf", "sum_tf", "max_partial", "postings_bin", "weights_bin",
-        "positions_bin",
+        "positions_bin", "doclens_bin",
     )}
     for s, e in zip(gs, ge):
         d, t, w = doc[s:e], tf[s:e], weight[s:e]
@@ -230,6 +234,9 @@ def _encode_partial_blocks_impl(batches, block_span):
         cols["positions_bin"].append(
             codec.encode_positions(t, flat_pos[new_starts[s] : new_starts[e]])
         )
+        # per-posting doc length (varbyte) — BM25's length normalization
+        # reads it from the block, no doc_stats join at query time
+        cols["doclens_bin"].append(codec.vb_encode(doclen[s:e]))
 
     yield pa.RecordBatch.from_arrays(
         [
@@ -244,6 +251,7 @@ def _encode_partial_blocks_impl(batches, block_span):
             pa.array(cols["postings_bin"], pa.binary()),
             pa.array(cols["weights_bin"], pa.binary()),
             pa.array(cols["positions_bin"], pa.binary()),
+            pa.array(cols["doclens_bin"], pa.binary()),
         ],
         names=list(cols.keys()),
     )
@@ -307,18 +315,20 @@ def _merge_segments(pdf):
 
     if len(pdf) == 1:
         return pdf
-    docs_l, tfs_l, pos_l, w_l = [], [], [], []
+    docs_l, tfs_l, pos_l, w_l, dl_l = [], [], [], [], []
     for _, row in pdf.iterrows():
         d, t = codec.decode_postings(bytes(row["postings_bin"]))
         docs_l.append(d)
         tfs_l.append(t)
         pos_l.extend(codec.decode_positions(bytes(row["positions_bin"]), t))
         w_l.append(np.frombuffer(bytes(row["weights_bin"]), dtype="<f8"))
+        dl_l.append(codec.vb_decode(bytes(row["doclens_bin"])))
     doc = np.concatenate(docs_l)
     tf = np.concatenate(tfs_l).astype(np.int64)
     w = np.concatenate(w_l)
+    dl = np.concatenate(dl_l)
     order = np.argsort(doc, kind="stable")
-    doc, tf, w = doc[order], tf[order], w[order]
+    doc, tf, w, dl = doc[order], tf[order], w[order], dl[order]
     flat_pos = np.concatenate([pos_l[i] for i in order])
     return pd.DataFrame(
         {
@@ -333,6 +343,7 @@ def _merge_segments(pdf):
             "postings_bin": [codec.encode_postings(doc, tf)],
             "weights_bin": [np.ascontiguousarray(w, dtype="<f8").tobytes()],
             "positions_bin": [codec.encode_positions(tf, flat_pos)],
+            "doclens_bin": [codec.vb_encode(dl)],
             "bucket": [pdf["bucket"].iloc[0]],
         }
     )
@@ -492,7 +503,9 @@ class IndexBuilder:
         # task instead of tasks x buckets fragments, and queries prune
         # directories by bucket then row-groups by term min/max.
         partials = (
-            analyzed.select("doc_id", "terms", "tfs", "positions", "weight")
+            analyzed.select(
+                "doc_id", "terms", "tfs", "positions", "weight", "doc_len"
+            )
             .mapInArrow(_partial_block_encoder(self.block_span), POSTINGS_SCHEMA)
             .withColumn("bucket", term_bucket_col(F.col("term"), self.term_buckets))
         )
@@ -540,16 +553,25 @@ class IndexBuilder:
         }
 
     def _finalize(self, num_docs: int) -> None:
+        # corpus token count for BM25's avgdl — one tiny aggregate over
+        # the (already-written) doc_stats table
+        total_tokens = int(
+            self.spark.read.parquet(self._p("doc_stats"))
+            .agg(F.coalesce(F.sum("doc_len"), F.lit(0)))
+            .first()[0]
+        )
         postings = self.spark.read.parquet(self._p("postings"))
         terms = postings.groupBy("term").agg(
             F.sum("df_block").cast("long").alias("df"),
             F.sum("sum_tf").cast("long").alias("cf"),
         )
         # hash-partitioned + term-sorted like the kgrams table: lookups
-        # go through an isin-pushed broadcast join, never a sorted
-        # single file — a repartition(1) funnel would OOM one task at
-        # 10^12-doc vocabulary sizes
-        terms.repartition(self.write_partitions, "term").sortWithinPartitions(
+        # go through an isin-pushed scan, never a sorted single file —
+        # a repartition(1) funnel would OOM one task at 10^12-doc
+        # vocabulary sizes. Width scales with corpus size so a small
+        # index stays a handful of files.
+        term_parts = max(1, min(self.write_partitions, num_docs // (1 << 16) + 1))
+        terms.repartition(term_parts, "term").sortWithinPartitions(
             "term"
         ).write.mode("overwrite").parquet(self._p("terms"))
 
@@ -573,6 +595,7 @@ class IndexBuilder:
             json.dump(
                 {
                     "num_docs": num_docs,
+                    "total_tokens": total_tokens,
                     "block_span": self.block_span,
                     "term_buckets": self.term_buckets,
                     "format_version": FORMAT_VERSION,

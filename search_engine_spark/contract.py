@@ -345,9 +345,9 @@ def _events_last(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _engine_ranked(spark: SparkSession, sf: str) -> DataFrame:
-    """The REAL Porter2 engine end-to-end (rows-only check: stemming is
-    not ANSI-SQL-expressible; parity is proven by the golden tests)."""
+def _contract_engine(spark: SparkSession, sf: str):
+    """Build-once (per layout version) Porter2 engine over the sf's
+    documents-as-transcripts; shared by the engine_* rows-only entries."""
     import hashlib
     import os
 
@@ -374,8 +374,19 @@ def _engine_ranked(spark: SparkSession, sf: str) -> DataFrame:
         TranscriptSearchEngine.build(
             spark, documents_as_transcripts(_doc(spark, sf)), index_dir
         )
-    eng = TranscriptSearchEngine(spark, index_dir, cache=False)
-    return eng.ranked_query_df("spark join fast", k=10)
+    return TranscriptSearchEngine(spark, index_dir, cache=False)
+
+
+def _engine_ranked(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL Porter2 engine end-to-end (rows-only check: stemming is
+    not ANSI-SQL-expressible; parity is proven by the golden tests)."""
+    return _contract_engine(spark, sf).ranked_query_df("spark join fast", k=10)
+
+
+def _engine_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Porter2-engine BM25 (rows-only; simple-analyzer BM25 is the
+    oracle-checked variant, ``bm25_topk``)."""
+    return _contract_engine(spark, sf).bm25_query_df("spark join fast", k=10)
 
 
 def _ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -439,6 +450,27 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         )
         SELECT acc.doc_id, round(acc.acc / wt.w, 6) AS score
         FROM acc JOIN wt USING (doc_id)
+        ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    ),
+    "bm25_topk": (
+        lambda spark, sf: simple.bm25_topk(_doc(spark, sf), RANKED_TERMS, k=10),
+        f"""WITH {TOKS}, {TF},
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        tot AS (SELECT CAST(sum(dl) AS DOUBLE) AS t FROM dl),
+        st AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        acc AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln(1.0 + ((SELECT n FROM nn) - st.df + 0.5) / (st.df + 0.5))
+                   * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                       / ((SELECT t FROM tot) / (SELECT n FROM nn)))))
+                 ) AS score
+          FROM tf JOIN st USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+          WHERE tf.term IN ({_IN_RANKED})
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 6) AS score FROM acc
         ORDER BY score DESC, doc_id ASC LIMIT 10""",
     ),
     "boolean_and": (
@@ -660,6 +692,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embed_near_dups_lsh": (_cosine_pairs_lsh, _lsh_pairs_sql()),
     # ---- rows-only entries (not ANSI-SQL-expressible)
     "engine_ranked_porter": (_engine_ranked, None),
+    "engine_bm25_porter": (_engine_bm25, None),
     "ann_lsh_topk": (_ann_lsh, None),
     "ann_ivf_topk": (_ann_ivf, None),
     "multimodal_features": (_multimodal, None),

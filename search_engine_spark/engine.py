@@ -76,6 +76,39 @@ def _block_scorer(k: int | None):
     return score
 
 
+def _block_bm25_scorer(k: int | None, k1: float, b: float, avgdl: float):
+    """Per-block BM25 scorer for ``applyInPandas``.
+
+    partial = wqt * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+    wqt = idf; doc lengths ride inside the block (``doclens_bin``), so
+    scoring needs no doc_stats join. Accumulation in qidx order,
+    tie-break doc_id asc — same discipline as the tf-idf scorer.
+    """
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["qidx"].to_numpy(), kind="stable")
+        doc_parts, partial_parts = [], []
+        for i in order:
+            d, t = codec.decode_postings(bytes(pdf["postings_bin"].iloc[i]))
+            dl = codec.vb_decode(bytes(pdf["doclens_bin"].iloc[i])).astype(
+                np.float64
+            )
+            denom = t + k1 * (1.0 - b + b * dl / avgdl)
+            doc_parts.append(d)
+            partial_parts.append(pdf["wqt"].iloc[i] * (t * (k1 + 1.0)) / denom)
+        docs = np.concatenate(doc_parts)
+        partials = np.concatenate(partial_parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        acc = np.zeros(uniq.size)
+        np.add.at(acc, inv, partials)
+        idx = np.lexsort((uniq, -acc))
+        if k is not None:
+            idx = idx[:k]
+        return pd.DataFrame({"doc_id": uniq[idx], "score": acc[idx]})
+
+    return score
+
+
 def _block_set_op(n_required: int | None):
     """Per-block boolean doc-set worker: AND of all ``n_required``
     distinct terms (``utils.py:33-51``) or, when None, OR across
@@ -151,6 +184,7 @@ class TranscriptSearchEngine:
                 f"{FORMAT_VERSION} — rebuild the index"
             )
         self.num_docs: int = meta["num_docs"]
+        self.total_tokens: int = meta["total_tokens"]
         self.block_span: int = meta["block_span"]
         self.term_buckets: int = meta["term_buckets"]
         self._tables: dict[str, DataFrame] = {}
@@ -441,6 +475,52 @@ class TranscriptSearchEngine:
             _block_scorer(k), "doc_id long, score double"
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # ------------------------------------------------------------------ BM25
+    def bm25_query_df(
+        self, query: str, k: int = DEFAULT_K, k1: float = 1.2, b: float = 0.75
+    ) -> DataFrame:
+        """Okapi BM25 top-k as one DataFrame plan: (doc_id, score).
+
+        idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene's non-negative
+        variant); length normalization uses the per-posting doc lengths
+        stored inside each block, so the plan shape is identical to the
+        tf-idf scorer: pruned scan -> per-block numpy scoring ->
+        TakeOrderedAndProject. Repeated query terms accumulate per
+        occurrence, like ranked_query.
+        """
+        spark = self.spark
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        terms = self._ranked_terms(query)
+        if not terms:
+            return empty
+        dfs = self._term_dfs(set(terms))
+        occurrences = [
+            (t, i, float(log(1 + (self.num_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))))
+            for i, t in enumerate(terms)
+            if dfs.get(t)
+        ]
+        if not occurrences:
+            return empty
+        avgdl = self.total_tokens / self.num_docs
+        wdf = spark.createDataFrame(
+            occurrences, "term string, qidx int, wqt double"
+        )
+        cells = (
+            self._postings_for_terms([t for t, _i, _w in occurrences])
+            .join(F.broadcast(wdf), "term")
+            .select("block_id", "qidx", "wqt", "postings_bin", "doclens_bin")
+        )
+        scored = cells.groupBy("block_id").applyInPandas(
+            _block_bm25_scorer(k, k1, b, avgdl), "doc_id long, score double"
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def bm25_query(
+        self, query: str, k: int = DEFAULT_K, k1: float = 1.2, b: float = 0.75
+    ) -> list[tuple[int, float]]:
+        df = self.bm25_query_df(query, k, k1, b)
+        return [(r["doc_id"], r["score"]) for r in df.collect()]
 
     # ---------------------------------------------------------------- boolean
     def boolean_query(self, query: str) -> list[int]:

@@ -112,6 +112,61 @@ def ranked_topk(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k: (doc_id, score), score rounded to 6 dp.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene's non-negative
+    variant); norm = tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)); ties
+    break on smaller doc_id. avgdl is exact (integer token total /
+    integer doc count, one double division) so the oracle reproduces
+    it bit-identically.
+    """
+    spark = docs.sparkSession
+    n_docs = docs.count()
+    tf = tf_table(docs, text_col, id_col)
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    total_tokens = doclen.agg(F.sum("dl")).first()[0]
+    avgdl = float(total_tokens) / float(n_docs)
+    qdf = spark.createDataFrame([(t,) for t in set(query_terms)], "term string")
+    dfs = term_stats(tf).join(F.broadcast(qdf), "term").select("term", "df")
+    scored = (
+        tf.join(F.broadcast(dfs), "term")
+        .join(doclen, id_col)
+        .select(
+            id_col,
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (
+                    (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl") / F.lit(avgdl)
+                        )
+                    )
+                )
+            ).alias("partial"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def docs_with_all(
     docs: DataFrame, terms: list[str], text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -154,3 +154,40 @@ def test_boolean_query_iter_streams(cold_engine):
     streamed = list(cold_engine.boolean_query_iter("test"))
     assert streamed == cold_engine.boolean_query("test")
     assert len(streamed) > 50
+
+
+def test_bm25_matches_reference_formula(spark, golden_engine):
+    """Engine BM25 == an independent python accumulation (Okapi BM25,
+    Lucene non-negative idf) over the same index tables — exact float
+    equality, including a repeated-term query."""
+    from math import log
+
+    from search_engine_spark.functions import codec
+
+    eng = golden_engine
+    tf: dict[str, dict[int, int]] = {}
+    for r in eng.postings.collect():
+        d, t = codec.decode_postings(bytes(r["postings_bin"]))
+        tf.setdefault(r["term"], {}).update(
+            {int(x): int(y) for x, y in zip(d, t)}
+        )
+    dl = {
+        int(r["doc_id"]): int(r["doc_len"])
+        for r in eng.doc_stats.select("doc_id", "doc_len").collect()
+    }
+    dfs = {r["term"]: r["df"] for r in eng.terms.collect()}
+    n, avgdl = eng.num_docs, eng.total_tokens / eng.num_docs
+    assert eng.total_tokens == sum(dl.values())
+    k1, b = 1.2, 0.75
+
+    for query in ["test document", "here test test"]:
+        acc: dict[int, float] = {}
+        for t in query.split():
+            if t not in dfs:
+                continue
+            idf = log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            for doc, f in tf[t].items():
+                denom = f + k1 * (1.0 - b + b * float(dl[doc]) / avgdl)
+                acc[doc] = acc.get(doc, 0.0) + idf * (f * (k1 + 1.0)) / denom
+        expected = sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:10]
+        assert eng.bm25_query(query, k=10) == expected, query
