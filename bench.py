@@ -77,6 +77,12 @@ def main() -> None:
         lambda: eng.ranked_query("spark join fast", pruned=True),
     )
     timed("boolean_query", lambda: eng.boolean_query("spark vector + dup"))
+    batch_queries = [
+        f"{a} {b}"
+        for a in ["spark", "join", "fast", "test"]
+        for b in ["query", "vector", "stream", "dup"]
+    ]
+    timed("ranked_batch16", lambda: eng.ranked_query_batch(batch_queries, k=10))
     timed("phrase_query", lambda: eng.boolean_query('"hash join"'))
     timed("wildcard_ranked", lambda: eng.ranked_query("s*m query"))
 

@@ -159,6 +159,12 @@ def _encode_partial_blocks_impl(batches, block_span):
 
     from search_engine_spark.functions import codec
 
+    # one Arrow compute thread per task: parallelism comes from Spark
+    # tasks; N workers x arrow-threads-per-core oversubscribes the box
+    # and ANTI-scales wide builds (measured: 8-core postings phase 153 s
+    # vs 87 s at 2 cores on a 4M-turn corpus before this cap)
+    pa.set_cpu_count(1)
+
     # whole-partition processing: one segment per (term, block) per task
     # (per-batch flushes would fragment blocks into ~25x more segments;
     # spark.sql.files.maxPartitionBytes bounds the materialized size)
@@ -275,6 +281,7 @@ def _merge_sorted_partition(batches):
     import pandas as pd
     import pyarrow as pa
 
+    pa.set_cpu_count(1)  # see _encode_partial_blocks_impl
     batches = list(batches)
     if not batches:
         return
@@ -294,11 +301,17 @@ def _merge_sorted_partition(batches):
     pdf = tbl.to_pandas()
     starts = np.flatnonzero(~dup_prev)
     ends = np.append(starts[1:], len(pdf))
-    parts = []
-    for s, e in zip(starts, ends):
-        run = pdf.iloc[s:e]
-        parts.append(run if e - s == 1 else _merge_segments(run))
-    out = pd.concat(parts, ignore_index=True)
+    multi = ends - starts > 1
+    # singles pass through as one slice; multi-segment runs merge into
+    # one dict-of-lists -> one frame (never a per-run concat — that is
+    # quadratic-ish at millions of runs per partition)
+    singles = pdf.iloc[starts[~multi]]
+    merged = [
+        _merge_segments(pdf.iloc[s:e]) for s, e in zip(starts[multi], ends[multi])
+    ]
+    out = pd.concat([singles, *merged], ignore_index=True).sort_values(
+        ["bucket", "term", "block_id"], kind="stable", ignore_index=True
+    )
     yield from pa.Table.from_pandas(out, schema=tbl.schema, preserve_index=False).to_batches(
         max_chunksize=4096
     )
@@ -495,33 +508,37 @@ class IndexBuilder:
         # transpose doc-major -> term-major, SPIMI style: each doc-range
         # partition flushes its own encoded (term, block) segments
         # map-side, so the one wide exchange moves compressed posting
-        # bytes, not row-per-posting records. The exchange is a RANGE
-        # repartition on (bucket, term, block_id): equal keys co-locate
-        # (the segment merge), hot terms stay spread over blocks, and
-        # each reduce task covers a contiguous bucket/term range — so
-        # the partitionBy("bucket") write emits ~1 term-sorted file per
-        # task instead of tasks x buckets fragments, and queries prune
-        # directories by bucket then row-groups by term min/max.
+        # bytes, not row-per-posting records. The exchange key is a
+        # STATIC bucket-major partition id: bucket picks a band of
+        # ~4*P/N sub-slots and hash(term, block_id) picks the slot, so
+        # equal keys co-locate (the segment merge), a hot term's bytes
+        # spread over its blocks' slots, each reduce task holds a
+        # handful of buckets (the partitionBy("bucket") write stays a
+        # few term-sorted files per task), and — because bucket is
+        # already a uniform hash of the term — no range-sampling pass
+        # is needed: the whole encode+shuffle+merge+write is ONE fused
+        # job, nothing scanned twice.
+        sub_slots = max(1, (4 * self.write_partitions) // self.term_buckets)
         partials = (
             analyzed.select(
                 "doc_id", "terms", "tfs", "positions", "weight", "doc_len"
             )
             .mapInArrow(_partial_block_encoder(self.block_span), POSTINGS_SCHEMA)
             .withColumn("bucket", term_bucket_col(F.col("term"), self.term_buckets))
-        )
-        # persisted: the range partitioner's sampling pass and the write
-        # pass both consume it (one encode, not two)
-        partials.persist(StorageLevel.MEMORY_AND_DISK)
-        (
-            partials.repartitionByRange(
-                self.write_partitions, "bucket", "term", "block_id"
+            .withColumn(
+                "pid",
+                F.col("bucket") * sub_slots
+                + F.pmod(F.xxhash64("term", "block_id"), F.lit(sub_slots)),
             )
+        )
+        (
+            partials.repartition(self.write_partitions, "pid")
+            .drop("pid")
             .mapInArrow(_merge_sorted_partition, POSTINGS_BUCKETED_SCHEMA)
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(self._p("postings", f"chunk={chunk}"))
         )
-        partials.unpersist()
         t3 = time.time()
 
         # unstemmed vocabulary for the k-gram index (reference adds the

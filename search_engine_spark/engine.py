@@ -76,6 +76,20 @@ def _block_scorer(k: int | None):
     return score
 
 
+def _block_scorer_keyed(k: int | None):
+    """``_block_scorer`` for (query_id, block_id) groups — the batch
+    path scores every query's blocks in ONE job; the key's query_id is
+    re-attached to the output rows."""
+    inner = _block_scorer(k)
+
+    def score(key, pdf):
+        out = inner(pdf)
+        out.insert(0, "query_id", int(key[0]))
+        return out
+
+    return score
+
+
 def _block_bm25_scorer(k: int | None, k1: float, b: float, avgdl: float):
     """Per-block BM25 scorer for ``applyInPandas``.
 
@@ -475,6 +489,64 @@ class TranscriptSearchEngine:
             _block_scorer(k), "doc_id long, score double"
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def ranked_query_batch(
+        self, queries: list[str], k: int = DEFAULT_K
+    ) -> list[list[tuple[int, float]]]:
+        """Many ranked queries in ONE Spark job (plus one shared
+        dictionary lookup): per-result-set identical to calling
+        :meth:`ranked_query` per query.
+
+        Per-query job scheduling dominates small-query latency (~1 s
+        per job locally; similar per-job overhead on a real cluster),
+        so interactive latency and batch throughput are different
+        regimes. Here every (query, term) occurrence becomes a row of
+        one broadcast dimension, the postings scan is pruned to the
+        UNION of all query terms, scoring groups by (query_id,
+        block_id), and one window takes each query's top-k — total
+        cost is one job regardless of batch size.
+        """
+        per_query = [self._ranked_terms(q) for q in queries]
+        all_terms = set().union(*map(set, per_query)) if per_query else set()
+        if not all_terms:
+            return [[] for _ in queries]
+        dfs = self._term_dfs(all_terms)
+        rows = [
+            (qid, t, i, float(log(1 + self.num_docs / dfs[t])))
+            for qid, terms in enumerate(per_query)
+            for i, t in enumerate(terms)
+            if dfs.get(t)
+        ]
+        if not rows:
+            return [[] for _ in queries]
+        wdf = self.spark.createDataFrame(
+            rows, "query_id int, term string, qidx int, wqt double"
+        )
+        cells = (
+            self._postings_for_terms({r[1] for r in rows})
+            .join(F.broadcast(wdf), "term")
+            .select(
+                "query_id", "block_id", "qidx", "wqt", "postings_bin", "weights_bin"
+            )
+        )
+        scored = cells.groupBy("query_id", "block_id").applyInPandas(
+            _block_scorer_keyed(k), "query_id int, doc_id long, score double"
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        top = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .orderBy("query_id", "rn")
+            .collect()
+        )
+        out: list[list[tuple[int, float]]] = [[] for _ in queries]
+        for r in top:
+            out[r["query_id"]].append((r["doc_id"], r["score"]))
+        return out
 
     # ------------------------------------------------------------------ BM25
     def bm25_query_df(

@@ -191,3 +191,27 @@ def test_bm25_matches_reference_formula(spark, golden_engine):
                 acc[doc] = acc.get(doc, 0.0) + idf * (f * (k1 + 1.0)) / denom
         expected = sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:10]
         assert eng.bm25_query(query, k=10) == expected, query
+
+
+def test_ranked_query_batch_matches_single(cold_engine):
+    """One-job batch scoring is result-identical to per-query calls,
+    including wildcard, repeated-term and no-hit queries."""
+    queries = ["test", "test here one", "te*t", "zzzzzzz", "test test document"]
+    batch = cold_engine.ranked_query_batch(queries, k=10)
+    assert len(batch) == len(queries)
+    for q, got in zip(queries, batch):
+        assert got == cold_engine.ranked_query(q, k=10), q
+
+
+def test_positions_column_pruned_for_non_phrase(spark, cold_engine):
+    """Q4 parity: positions bytes are read ONLY by phrase plans (the
+    reference seeks past positions otherwise, diskindex.py:124-125);
+    Catalyst must prune the column from ranked/boolean scans."""
+    eng = cold_engine
+    ranked = _formatted_plan(spark, eng.ranked_query_df("test document"))
+    booln = _formatted_plan(spark, eng._all_terms_df(["test", "document"]))
+    phrase = _formatted_plan(spark, eng._phrase_df(["test", "document"]))
+    for plan in (ranked, booln):
+        scan_schema = plan.split("ReadSchema")[-1]
+        assert "positions_bin" not in scan_schema
+    assert "positions_bin" in phrase.split("ReadSchema")[-1]

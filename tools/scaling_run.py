@@ -27,9 +27,24 @@ QUERIES_RANKED = ["spark index fast", "test document", "shuffle partition cluste
 QUERIES_BOOL = ['data + "test document"', "spark cluster"]
 
 
+def cpu_probe() -> float:
+    """Fixed single-core numpy workload (seconds). The sandbox VM is
+    intermittently CPU-throttled by neighbors (same sort measured 1.8 s
+    and 18.5 s an hour apart); recording the probe per leg makes each
+    measurement's machine health part of the record."""
+    import numpy as np
+
+    a = np.random.default_rng(0).integers(0, 1 << 40, 10_000_000)
+    t0 = time.time()
+    np.sort(a)
+    return round(time.time() - t0, 2)
+
+
 def run_one(cores: int, input_path: str) -> dict:
     from search_engine_spark.engine import TranscriptSearchEngine
     from search_engine_spark.session import get_spark
+
+    probe = cpu_probe()
 
     spark = get_spark(
         app_name=f"scaling-{cores}",
@@ -59,6 +74,7 @@ def run_one(cores: int, input_path: str) -> dict:
     return {
         "cores": cores,
         "n_turns": n_turns,
+        "cpu_probe_secs": probe,
         "build_secs": round(build_secs, 2),
         "build_turns_per_sec": round(n_turns / build_secs, 2),
         "query_batch_secs": round(query_secs, 2),
@@ -100,8 +116,10 @@ def orchestrate(turns: int, cores_lo: int, cores_hi: int, repeats: int) -> None:
         eff = (lo["build_secs"] / hi["build_secs"]) / (cores_hi / cores_lo)
         pairs.append({"repeat": r, "lo": lo, "hi": hi,
                       "efficiency": round(eff, 3)})
-        print(f"# repeat {r}: {cores_lo}c {lo['build_secs']}s, "
-              f"{cores_hi}c {hi['build_secs']}s, eff {eff:.3f}",
+        print(f"# repeat {r}: {cores_lo}c {lo['build_secs']}s "
+              f"(probe {lo['cpu_probe_secs']}s), "
+              f"{cores_hi}c {hi['build_secs']}s "
+              f"(probe {hi['cpu_probe_secs']}s), eff {eff:.3f}",
               file=sys.stderr)
 
     effs = [p["efficiency"] for p in pairs]
@@ -115,6 +133,9 @@ def orchestrate(turns: int, cores_lo: int, cores_hi: int, repeats: int) -> None:
         "build_turns_per_sec_best_hi": max(
             p["hi"]["build_turns_per_sec"] for p in pairs
         ),
+        "cpu_probe_secs": [
+            [p["lo"]["cpu_probe_secs"], p["hi"]["cpu_probe_secs"]] for p in pairs
+        ],
         "efficiencies": effs,
         "scaling_efficiency_median": round(statistics.median(effs), 3),
         "scaling_efficiency_min": min(effs),
