@@ -479,6 +479,69 @@ class IndexBuilder:
             json.dump(totals, f, indent=1)
         return totals
 
+    def append(self, transcripts: DataFrame) -> dict:
+        """Incrementally index new transcripts into an EXISTING index —
+        a capability the reference lacks (its Spimi rebuilds from zero,
+        ``diskindex.py:130-135``) but a continuously-ingesting corpus
+        needs: the new batch becomes one more committed chunk.
+
+        New doc ids start at the next block boundary past every
+        existing id, so the batch's (term, block_id) cells are disjoint
+        from all prior chunks and no existing posting row is rewritten
+        — append cost is O(new docs), not O(index). The id sequence
+        therefore has a gap of up to ``block_span - 1`` per append
+        (queries never assume density; ``num_docs`` stays the true doc
+        COUNT for scoring). Within a batch, ids follow (conv_id,
+        turn_idx) order like a fresh build; across batches, arrival
+        order. The terms/kgrams dictionaries are re-aggregated from all
+        chunks' metadata (cheap — they never touch posting bytes).
+        """
+        with open(self._p("_meta.json")) as f:
+            meta = json.load(f)
+        if meta.get("format_version") != FORMAT_VERSION:
+            raise ValueError(
+                f"cannot append to format_version {meta.get('format_version')} "
+                f"index (this builder writes {FORMAT_VERSION})"
+            )
+        if meta["block_span"] != self.block_span:
+            raise ValueError(
+                f"index has block_span {meta['block_span']}, builder has "
+                f"{self.block_span}"
+            )
+        if meta["term_buckets"] != self.term_buckets:
+            raise ValueError(
+                f"index has term_buckets {meta['term_buckets']}, builder has "
+                f"{self.term_buckets}"
+            )
+        t0 = time.time()
+        next_id = meta.get("next_doc_id", meta["num_docs"])
+        base = math.ceil(next_id / self.block_span) * self.block_span
+        new_docs, n_new, parted = with_doc_ids_counted(transcripts)
+        new_docs = new_docs.withColumn("doc_id", F.col("doc_id") + F.lit(base))
+        new_docs.write.mode("append").parquet(self._p("docs"))
+        if parted is not None:
+            parted.unpersist()
+        chunk = len(
+            [f for f in os.listdir(self._p("manifest")) if f.endswith(".json")]
+        )
+        docs = self.spark.read.parquet(self._p("docs")).where(
+            F.col("doc_id") >= base
+        )
+        metrics = self._build_chunk(docs, chunk)
+        manifest_path = self._p("manifest", f"chunk_{chunk}.json")
+        with open(manifest_path + ".tmp", "w") as f:
+            json.dump(metrics, f)
+        os.replace(manifest_path + ".tmp", manifest_path)
+        num_docs = meta["num_docs"] + n_new
+        self._finalize(num_docs, next_doc_id=base + n_new)
+        return {
+            "appended_docs": n_new,
+            "first_doc_id": base,
+            "num_docs": num_docs,
+            "chunk": chunk,
+            "secs": round(time.time() - t0, 2),
+        }
+
     # -- internals -------------------------------------------------------------
     def _build_chunk(self, docs_chunk: DataFrame, chunk: int) -> dict:
         t0 = time.time()
@@ -569,7 +632,7 @@ class IndexBuilder:
             },
         }
 
-    def _finalize(self, num_docs: int) -> None:
+    def _finalize(self, num_docs: int, next_doc_id: int | None = None) -> None:
         # corpus token count for BM25's avgdl — one tiny aggregate over
         # the (already-written) doc_stats table
         total_tokens = int(
@@ -612,6 +675,9 @@ class IndexBuilder:
             json.dump(
                 {
                     "num_docs": num_docs,
+                    "next_doc_id": (
+                        num_docs if next_doc_id is None else next_doc_id
+                    ),
                     "total_tokens": total_tokens,
                     "block_span": self.block_span,
                     "term_buckets": self.term_buckets,

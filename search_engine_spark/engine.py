@@ -293,6 +293,28 @@ class TranscriptSearchEngine:
         IndexBuilder(spark, index_dir, **builder_kwargs).build(transcripts)
         return cls(spark, index_dir)
 
+    def append(self, transcripts: DataFrame) -> dict:
+        """Incrementally index new transcripts (one new committed chunk,
+        O(new docs) — see :meth:`IndexBuilder.append`), then refresh
+        this engine's cached tables and corpus statistics."""
+        info = IndexBuilder(
+            self.spark,
+            self.index_dir,
+            block_span=self.block_span,
+            term_buckets=self.term_buckets,
+        ).append(transcripts)
+        for df in self._tables.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._tables.clear()
+        with open(os.path.join(self.index_dir, "_meta.json")) as f:
+            meta = json.load(f)
+        self.num_docs = meta["num_docs"]
+        self.total_tokens = meta["total_tokens"]
+        return info
+
     # ----------------------------------------------------------------- ranked
     def ranked_query_df(self, query: str, k: int = DEFAULT_K) -> DataFrame:
         """Top-k scoring as one DataFrame plan: (doc_id, score)."""

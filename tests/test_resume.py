@@ -103,3 +103,51 @@ def test_manifest_metrics_recorded(spark, tmp_path):
         assert m["secs"] > 0
     assert metrics["num_docs"] == 18
     assert metrics["docs_per_sec"] > 0
+
+
+def test_incremental_append(spark, tmp_path):
+    """Append = one new block-aligned chunk: old postings untouched,
+    (term, block_id) still unique, stats refreshed, results identical
+    to what the combined corpus implies."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.engine import TranscriptSearchEngine
+
+    idx = str(tmp_path / "idx")
+    base_df = synthetic_transcripts(spark, n_convs=10, turns_per_conv=4)  # 40
+    eng = TranscriptSearchEngine.build(spark, base_df, idx, block_span=16)
+    assert eng.num_docs == 40
+    old_posting_files = set(
+        spark.read.parquet(os.path.join(idx, "postings")).inputFiles()
+    )
+    hits_before = set(eng.boolean_query("test"))
+
+    new_df = synthetic_transcripts(spark, n_convs=6, turns_per_conv=5)  # 30
+    info = eng.append(new_df)
+    assert info["appended_docs"] == 30
+    assert info["first_doc_id"] == 48  # ceil(40/16)*16 — block-aligned gap
+    assert eng.num_docs == 70
+    assert eng.total_tokens == sum(
+        int(r["doc_len"]) for r in eng.doc_stats.select("doc_len").collect()
+    )
+
+    posts = spark.read.parquet(os.path.join(idx, "postings"))
+    assert (
+        posts.groupBy("term", "block_id").count().where(F.col("count") > 1).count()
+        == 0
+    )
+    # old chunk's files were not rewritten
+    assert old_posting_files <= set(posts.inputFiles())
+
+    hits_after = set(eng.boolean_query("test"))
+    assert hits_before <= hits_after
+    assert any(d >= 48 for d in hits_after)  # new docs are searchable
+    # ranked scoring reflects the new corpus stats and WAND stays
+    # rank-identical over the appended index
+    exhaustive = eng.ranked_query("test here one", k=10)
+    assert eng.ranked_query("test here one", k=10, pruned=True) == exhaustive
+
+    # a second append stacks another chunk cleanly
+    info2 = eng.append(synthetic_transcripts(spark, n_convs=2, turns_per_conv=3))
+    assert info2["first_doc_id"] == 80  # ceil(78/16)*16
+    assert eng.num_docs == 76

@@ -54,7 +54,16 @@ def run_one(cores: int, input_path: str) -> dict:
     transcripts = spark.read.parquet(input_path)
     n_turns = transcripts.count()
 
+    # warmup build: JVM JIT, Python UDF worker pool, shuffle/codegen
+    # caches — one-time per-session costs that a production-scale build
+    # amortizes away; the MEASURED build is the steady-state second one
     index_dir = f"/tmp/scaling_index_{cores}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    TranscriptSearchEngine.build(
+        spark, transcripts, index_dir, write_partitions=cores
+    )
+    warmup_secs = time.time() - t0
     shutil.rmtree(index_dir, ignore_errors=True)
     t0 = time.time()
     eng = TranscriptSearchEngine.build(
@@ -75,6 +84,7 @@ def run_one(cores: int, input_path: str) -> dict:
         "cores": cores,
         "n_turns": n_turns,
         "cpu_probe_secs": probe,
+        "warmup_build_secs": round(warmup_secs, 2),
         "build_secs": round(build_secs, 2),
         "build_turns_per_sec": round(n_turns / build_secs, 2),
         "query_batch_secs": round(query_secs, 2),
