@@ -74,7 +74,7 @@ DEFAULT_TERM_BUCKETS = 32
 
 # Bump whenever the on-disk table layout changes (readers refuse
 # mismatched indexes instead of failing mid-query).
-FORMAT_VERSION = 4
+FORMAT_VERSION = 5
 
 
 def term_bucket(term: str, n_buckets: int) -> int:
@@ -124,9 +124,9 @@ def doc_weights(tf: DataFrame) -> DataFrame:
 
 POSTINGS_SCHEMA = (
     "term string, block_id long, df_block int, first_doc_id long, "
-    "last_doc_id long, max_tf int, sum_tf long, max_partial double, "
-    "postings_bin binary, weights_bin binary, positions_bin binary, "
-    "doclens_bin binary"
+    "last_doc_id long, max_tf int, min_dl int, sum_tf long, "
+    "max_partial double, postings_bin binary, weights_bin binary, "
+    "positions_bin binary, doclens_bin binary"
 )
 
 
@@ -216,8 +216,8 @@ def _encode_partial_blocks_impl(batches, block_span):
 
     cols: dict[str, list] = {k: [] for k in (
         "term", "block_id", "df_block", "first_doc_id", "last_doc_id",
-        "max_tf", "sum_tf", "max_partial", "postings_bin", "weights_bin",
-        "positions_bin", "doclens_bin",
+        "max_tf", "min_dl", "sum_tf", "max_partial", "postings_bin",
+        "weights_bin", "positions_bin", "doclens_bin",
     )}
     for s, e in zip(gs, ge):
         d, t, w = doc[s:e], tf[s:e], weight[s:e]
@@ -227,6 +227,10 @@ def _encode_partial_blocks_impl(batches, block_span):
         cols["first_doc_id"].append(int(d[0]))
         cols["last_doc_id"].append(int(d[-1]))
         cols["max_tf"].append(int(t.max()))
+        # block-min doc length: BM25's block-max upper bound is
+        # monotone decreasing in dl, so f(max_tf, min_dl) bounds every
+        # posting in the cell
+        cols["min_dl"].append(int(doclen[s:e].min()))
         cols["sum_tf"].append(int(t.sum()))
         # block-max of the doc-normalized partial score (1+ln tf)/L_d
         # -- the WAND upper bound for this block under wqt scaling
@@ -252,6 +256,7 @@ def _encode_partial_blocks_impl(batches, block_span):
             pa.array(cols["first_doc_id"], pa.int64()),
             pa.array(cols["last_doc_id"], pa.int64()),
             pa.array(cols["max_tf"], pa.int32()),
+            pa.array(cols["min_dl"], pa.int32()),
             pa.array(cols["sum_tf"], pa.int64()),
             pa.array(cols["max_partial"], pa.float64()),
             pa.array(cols["postings_bin"], pa.binary()),
@@ -351,6 +356,7 @@ def _merge_segments(pdf):
             "first_doc_id": [int(doc[0])],
             "last_doc_id": [int(doc[-1])],
             "max_tf": [int(tf.max())],
+            "min_dl": [int(dl.min())],
             "sum_tf": [int(tf.sum())],
             "max_partial": [float(np.max((1.0 + np.log(tf)) / w))],
             "postings_bin": [codec.encode_postings(doc, tf)],
@@ -392,6 +398,21 @@ class IndexBuilder:
     def _p(self, *parts: str) -> str:
         return os.path.join(self.index_dir, *parts)
 
+    def _ensure_readable(self, path: str, schema) -> None:
+        """A zero-row write emits no parquet files, and a footerless
+        directory cannot be read back (schema inference fails) — park
+        one explicit-schema empty file so degenerate corpora (empty
+        chunk, empty index) stay queryable."""
+        has_file = any(
+            name.endswith(".parquet")
+            for _root, _dirs, files in os.walk(path)
+            for name in files
+        )
+        if not has_file:
+            self.spark.createDataFrame([], schema).write.mode("append").parquet(
+                path
+            )
+
     # -- public API ------------------------------------------------------------
     def build(
         self,
@@ -423,6 +444,7 @@ class IndexBuilder:
             else:
                 docs, parted = transcripts, None
             docs.write.mode("overwrite").parquet(self._p("docs"))
+            self._ensure_readable(self._p("docs"), docs.schema)
             if parted is not None:
                 parted.unpersist()
         docs = self.spark.read.parquet(self._p("docs"))
@@ -566,6 +588,10 @@ class IndexBuilder:
             F.size("terms").cast("long").alias("n_terms"),
         )
         stats.write.mode("overwrite").parquet(self._p("doc_stats", f"chunk={chunk}"))
+        self._ensure_readable(
+            self._p("doc_stats", f"chunk={chunk}"),
+            "doc_id long, weight double, doc_len long, n_terms long",
+        )
         t2 = time.time()
 
         # transpose doc-major -> term-major, SPIMI style: each doc-range
@@ -602,12 +628,20 @@ class IndexBuilder:
             .partitionBy("bucket")
             .parquet(self._p("postings", f"chunk={chunk}"))
         )
+        # filler goes under a bucket= dir so partition discovery keeps a
+        # consistent directory depth next to non-empty chunks
+        self._ensure_readable(
+            self._p("postings", f"chunk={chunk}", "bucket=0"), POSTINGS_SCHEMA
+        )
         t3 = time.time()
 
         # unstemmed vocabulary for the k-gram index (reference adds the
         # specials-stripped word BEFORE stemming, memoryindex.py:32-33)
         vocab = analyzed.select(F.explode("words").alias("word")).distinct()
         vocab.write.mode("overwrite").parquet(self._p("vocab_chunks", f"chunk={chunk}"))
+        self._ensure_readable(
+            self._p("vocab_chunks", f"chunk={chunk}"), "word string"
+        )
         t4 = time.time()
         analyzed.unpersist()
 
@@ -654,6 +688,7 @@ class IndexBuilder:
         terms.repartition(term_parts, "term").sortWithinPartitions(
             "term"
         ).write.mode("overwrite").parquet(self._p("terms"))
+        self._ensure_readable(self._p("terms"), "term string, df long, cf long")
 
         vocab = (
             self.spark.read.parquet(self._p("vocab_chunks"))
@@ -667,9 +702,13 @@ class IndexBuilder:
         ).repartition(self.write_partitions, "gram").sortWithinPartitions(
             "gram"
         ).write.mode("overwrite").parquet(self._p("kgrams"))
+        self._ensure_readable(
+            self._p("kgrams"), "gram string, word string, n_grams int"
+        )
         vocab.select("word", "n_grams").write.mode("overwrite").parquet(
             self._p("vocab")
         )
+        self._ensure_readable(self._p("vocab"), "word string, n_grams int")
 
         with open(self._p("_meta.json"), "w") as f:
             json.dump(

@@ -227,6 +227,11 @@ class TranscriptSearchEngine:
             )
             parts = max(1, min(limit, nbytes // (32 << 20) + 1))
             df = df.coalesce(int(parts))
+            # evict any stale cache entry for the same plan: Spark's
+            # CacheManager matches by canonicalized plan (i.e. by PATH),
+            # so an engine opened after rebuilding an index at the same
+            # path would otherwise be served the PREVIOUS index's rows
+            df.unpersist(blocking=False)
             df.persist(StorageLevel.MEMORY_AND_DISK)
         self._tables[name] = df
         return df
@@ -368,6 +373,59 @@ class TranscriptSearchEngine:
         UNDER-prune (score a few extra blocks), never over-prune.
         """
         occurrences = self._weighted_occurrences(self._ranked_terms(query))
+        return self._wand_topk(
+            occurrences,
+            row_ub=F.col("wqt") * F.col("max_partial"),
+            scorer=_block_scorer(None),
+            payload_cols=("postings_bin", "weights_bin"),
+            k=k,
+        )
+
+    def bm25_query_wand(
+        self, query: str, k: int = DEFAULT_K, k1: float = 1.2, b: float = 0.75
+    ) -> list[tuple[int, float]]:
+        """Block-max WAND BM25, rank-identical to :meth:`bm25_query`.
+
+        The per-cell upper bound uses the cell's block-max metadata:
+        BM25's norm is increasing in tf and decreasing in dl, so
+        ``idf * f(max_tf, min_dl)`` bounds every posting in the cell.
+        """
+        occurrences = self._bm25_occurrences(self._ranked_terms(query))
+        if not occurrences:
+            self._last_wand_stats = {"round1_blocks": 0, "round2_blocks": 0}
+            return []
+        avgdl = self.total_tokens / self.num_docs
+        mt = F.col("max_tf").cast("double")
+        row_ub = F.col("wqt") * (
+            (mt * F.lit(k1 + 1.0))
+            / (
+                mt
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("min_dl").cast("double") / F.lit(avgdl)
+                )
+            )
+        )
+        return self._wand_topk(
+            occurrences,
+            row_ub=row_ub,
+            scorer=_block_bm25_scorer(None, k1, b, avgdl),
+            payload_cols=("postings_bin", "doclens_bin"),
+            k=k,
+        )
+
+    def _wand_topk(
+        self,
+        occurrences: list[tuple[str, int, float]],
+        row_ub,
+        scorer,
+        payload_cols: tuple[str, ...],
+        k: int,
+    ) -> list[tuple[int, float]]:
+        """Shared block-max selection (see :meth:`ranked_query_wand`):
+        cluster-side upper bounds, two collect-only-survivors rounds,
+        exact scoring of selected blocks with ``scorer``."""
         if not occurrences:
             self._last_wand_stats = {"round1_blocks": 0, "round2_blocks": 0}
             return []
@@ -384,7 +442,7 @@ class TranscriptSearchEngine:
             self._postings_for_terms(by_term)
             .join(F.broadcast(wdf), "term")
             .groupBy("block_id")
-            .agg(F.sum(F.col("wqt") * F.col("max_partial")).alias("ub"))
+            .agg(F.sum(row_ub).alias("ub"))
         )
         meta.persist(StorageLevel.MEMORY_AND_DISK)
         try:
@@ -398,7 +456,7 @@ class TranscriptSearchEngine:
             if not round1:
                 self._last_wand_stats = {"round1_blocks": 0, "round2_blocks": 0}
                 return []
-            scored = self._score_block_ids(occurrences, round1)
+            scored = self._score_block_ids(occurrences, round1, scorer, payload_cols)
             top = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
             round2: list[int] = []
             if len(top) == k and len(round1) == n_probe:
@@ -414,7 +472,11 @@ class TranscriptSearchEngine:
                     .collect()
                 ]
                 if round2:
-                    scored.update(self._score_block_ids(occurrences, round2))
+                    scored.update(
+                        self._score_block_ids(
+                            occurrences, round2, scorer, payload_cols
+                        )
+                    )
                     top = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
         finally:
             meta.unpersist()
@@ -425,11 +487,17 @@ class TranscriptSearchEngine:
         return top
 
     def _score_block_ids(
-        self, occurrences: list[tuple[str, int, float]], block_ids: list[int]
+        self,
+        occurrences: list[tuple[str, int, float]],
+        block_ids: list[int],
+        scorer=None,
+        payload_cols: tuple[str, ...] = ("postings_bin", "weights_bin"),
     ) -> dict[int, float]:
         """Exact scores for every doc in the given blocks (all query
         terms of those blocks participate — blocks partition the doc
         space, so each doc's score is complete within its block)."""
+        if scorer is None:
+            scorer = _block_scorer(None)
         wdf = self.spark.createDataFrame(
             occurrences, "term string, qidx int, wqt double"
         )
@@ -437,11 +505,11 @@ class TranscriptSearchEngine:
             self._postings_for_terms([t for t, _i, _w in occurrences])
             .where(F.col("block_id").isin([int(b) for b in block_ids]))
             .join(F.broadcast(wdf), "term")
-            .select("block_id", "qidx", "wqt", "postings_bin", "weights_bin")
+            .select("block_id", "qidx", "wqt", *payload_cols)
         )
         pdf = (
             cells.groupBy("block_id")
-            .applyInPandas(_block_scorer(None), "doc_id long, score double")
+            .applyInPandas(scorer, "doc_id long, score double")
             .toPandas()
         )
         return {
@@ -585,15 +653,7 @@ class TranscriptSearchEngine:
         """
         spark = self.spark
         empty = spark.createDataFrame([], "doc_id long, score double")
-        terms = self._ranked_terms(query)
-        if not terms:
-            return empty
-        dfs = self._term_dfs(set(terms))
-        occurrences = [
-            (t, i, float(log(1 + (self.num_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))))
-            for i, t in enumerate(terms)
-            if dfs.get(t)
-        ]
+        occurrences = self._bm25_occurrences(self._ranked_terms(query))
         if not occurrences:
             return empty
         avgdl = self.total_tokens / self.num_docs
@@ -610,9 +670,31 @@ class TranscriptSearchEngine:
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def _bm25_occurrences(
+        self, terms: list[str]
+    ) -> list[tuple[str, int, float]]:
+        """(term, qidx, idf) per occurrence — Lucene's non-negative
+        idf = ln(1 + (N - df + 0.5)/(df + 0.5))."""
+        dfs = self._term_dfs(set(terms))
+        return [
+            (t, i, float(log(1 + (self.num_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))))
+            for i, t in enumerate(terms)
+            if dfs.get(t)
+        ]
+
     def bm25_query(
-        self, query: str, k: int = DEFAULT_K, k1: float = 1.2, b: float = 0.75
+        self,
+        query: str,
+        k: int = DEFAULT_K,
+        k1: float = 1.2,
+        b: float = 0.75,
+        pruned: bool = False,
     ) -> list[tuple[int, float]]:
+        """Top-k BM25. ``pruned=True`` uses block-max WAND selection —
+        rank-identical, scores only blocks whose upper bound can reach
+        the top-k (``tests/test_wand.py`` asserts equality)."""
+        if pruned:
+            return self.bm25_query_wand(query, k, k1, b)
         df = self.bm25_query_df(query, k, k1, b)
         return [(r["doc_id"], r["score"]) for r in df.collect()]
 

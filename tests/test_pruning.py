@@ -215,3 +215,40 @@ def test_positions_column_pruned_for_non_phrase(spark, cold_engine):
         scan_schema = plan.split("ReadSchema")[-1]
         assert "positions_bin" not in scan_schema
     assert "positions_bin" in phrase.split("ReadSchema")[-1]
+
+
+def test_rebuild_same_path_not_served_stale_cache(spark, tmp_path):
+    """Regression: Spark's CacheManager matches persisted relations by
+    canonicalized plan (path), so an engine opened after REBUILDING an
+    index at the same path used to answer from the previous index's
+    cached rows."""
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    small = synthetic_transcripts(spark, n_convs=4, turns_per_conv=3)  # 12
+    e1 = TranscriptSearchEngine.build(spark, small, idx)
+    assert e1.num_docs == 12
+    assert e1.boolean_query("test")  # materialize the cache
+
+    shutil.rmtree(idx)
+    bigger = synthetic_transcripts(spark, n_convs=8, turns_per_conv=3)  # 24
+    e2 = TranscriptSearchEngine.build(spark, bigger, idx)
+    assert e2.num_docs == 24
+    hits = e2.boolean_query("test")
+    assert any(d >= 12 for d in hits)  # rows only the NEW index contains
+
+
+def test_bm25_wand_rank_identical(spark, tmp_path):
+    """Block-max BM25 (idf * f(max_tf, min_dl) upper bounds) must be
+    rank-identical to exhaustive BM25 and prune most blocks."""
+    idx = str(tmp_path / "idx")
+    df = synthetic_transcripts(spark, n_convs=50, turns_per_conv=4)
+    IndexBuilder(spark, idx, block_span=1).build(df)
+    eng = TranscriptSearchEngine(spark, idx, cache=False)
+    n_blocks = eng.postings.select("block_id").distinct().count()
+    for q in ["test", "test here one"]:
+        exhaustive = eng.bm25_query(q, k=10)
+        pruned = eng.bm25_query(q, k=10, pruned=True)
+        assert pruned == exhaustive, q
+        stats = eng._last_wand_stats
+        assert 0 < stats["round1_blocks"] + stats["round2_blocks"] < n_blocks

@@ -151,3 +151,32 @@ def test_incremental_append(spark, tmp_path):
     info2 = eng.append(synthetic_transcripts(spark, n_convs=2, turns_per_conv=3))
     assert info2["first_doc_id"] == 80  # ceil(78/16)*16
     assert eng.num_docs == 76
+
+
+def test_empty_and_single_doc_corpus(spark, tmp_path):
+    """Degenerate corpora: an empty build yields a queryable (empty)
+    index; a 1-doc corpus answers every query class."""
+    from search_engine_spark.engine import TranscriptSearchEngine
+
+    empty = synthetic_transcripts(spark, n_convs=1, turns_per_conv=1).where(
+        "turn_idx < 0"
+    )
+    idx0 = str(tmp_path / "empty")
+    eng0 = TranscriptSearchEngine.build(spark, empty, idx0, block_span=16)
+    assert eng0.num_docs == 0 and eng0.total_tokens == 0
+    assert eng0.ranked_query("test") == []
+    assert eng0.boolean_query("test document") == []
+    assert eng0.ranked_query("test", pruned=True) == []
+    assert eng0.bm25_query("test") == []
+
+    one = synthetic_transcripts(spark, n_convs=1, turns_per_conv=1)
+    idx1 = str(tmp_path / "one")
+    eng1 = TranscriptSearchEngine.build(spark, one, idx1, block_span=16)
+    assert eng1.num_docs == 1
+    terms = [r["term"] for r in eng1.terms.collect()]
+    assert terms
+    q = terms[0]
+    assert eng1.boolean_query(q) == [0]
+    assert [d for d, _s in eng1.ranked_query(q)] == [0]
+    assert eng1.ranked_query(q, pruned=True) == eng1.ranked_query(q)
+    assert [d for d, _s in eng1.bm25_query(q)] == [0]
