@@ -29,10 +29,7 @@ in this sandbox image).
 
 from __future__ import annotations
 
-import json
 import math
-import os
-import shutil
 import time
 
 import numpy as np
@@ -40,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from search_engine_spark import fsio
 from search_engine_spark.functions.udfs import (
     analyze_doc_udf,
     analyze_udf,
@@ -74,7 +72,11 @@ DEFAULT_TERM_BUCKETS = 32
 
 # Bump whenever the on-disk table layout changes (readers refuse
 # mismatched indexes instead of failing mid-query).
-FORMAT_VERSION = 5
+# v6: versioned terms dictionary (meta["terms_table"] snapshot pointer),
+#     meta["n_chunks"] commit counter, per-append manifest provenance
+#     (base/n_docs/ingest) enabling crash recovery, all metadata I/O
+#     through the Hadoop FileSystem API (non-local index_dir works).
+FORMAT_VERSION = 6
 
 
 def term_bucket(term: str, n_buckets: int) -> int:
@@ -274,10 +276,14 @@ POSTINGS_BUCKETED_SCHEMA = POSTINGS_SCHEMA + ", bucket int"
 def _merge_sorted_partition(batches):
     """``mapInArrow`` worker for the merge shuffle's reduce side.
 
-    The partition holds every segment of its (bucket, term, block_id)
-    range (``repartitionByRange`` sends equal keys to one partition).
-    Sort the whole partition by that key (Arrow ``sort_by`` — the
-    output files must be term-ordered for row-group min/max pruning),
+    The partition holds every segment of each of its (term, block_id)
+    keys: the exchange hash-partitions on a bucket-major ``pid`` column
+    (``pid = bucket * sub_slots + hash(term, block_id) % sub_slots``),
+    so equal keys always co-locate and a task's keys span few buckets,
+    though files per (task, bucket) are not otherwise minimized.
+    Sort the whole partition by (bucket, term, block_id) (Arrow
+    ``sort_by`` — the output files must be term-ordered for row-group
+    min/max pruning),
     then k-way-merge runs of equal (term, block_id) — the SPIMI merge,
     reference ``diskindex.py:219-260``. Single-segment runs (the common
     case: a 64k-doc block rarely spans many input partitions) pass
@@ -396,19 +402,14 @@ class IndexBuilder:
 
     # -- paths ---------------------------------------------------------------
     def _p(self, *parts: str) -> str:
-        return os.path.join(self.index_dir, *parts)
+        return fsio.join(self.index_dir, *parts)
 
     def _ensure_readable(self, path: str, schema) -> None:
         """A zero-row write emits no parquet files, and a footerless
         directory cannot be read back (schema inference fails) — park
         one explicit-schema empty file so degenerate corpora (empty
         chunk, empty index) stay queryable."""
-        has_file = any(
-            name.endswith(".parquet")
-            for _root, _dirs, files in os.walk(path)
-            for name in files
-        )
-        if not has_file:
+        if not fsio.has_file_with_suffix(self.spark, path, ".parquet"):
             self.spark.createDataFrame([], schema).write.mode("append").parquet(
                 path
             )
@@ -420,6 +421,7 @@ class IndexBuilder:
         chunk_docs: int | None = None,
         resume: bool = False,
         assign_ids: bool = True,
+        ingest: dict | None = None,
     ) -> dict:
         """Full (optionally chunked + resumable) index build.
 
@@ -428,15 +430,19 @@ class IndexBuilder:
         are disjoint across chunks and no cross-chunk merge is needed —
         the union of chunk outputs IS the index (what the reference's
         k-way block merge achieves, ``diskindex.py:219-260``).
+
+        ``ingest``: streaming provenance recorded in the final meta
+        write, so a replayed first micro-batch is fenced atomically
+        with the build commit itself (:mod:`..streaming.ingest`).
         """
         t0 = time.time()
         phases: dict[str, float] = {}
-        if not resume and os.path.exists(self.index_dir):
-            shutil.rmtree(self.index_dir)
-        os.makedirs(self._p("manifest"), exist_ok=True)
+        if not resume and fsio.exists(self.spark, self.index_dir):
+            fsio.delete(self.spark, self.index_dir)
+        fsio.mkdirs(self.spark, self._p("manifest"))
 
         num_docs = None
-        if not resume or not os.path.exists(self._p("docs", "_SUCCESS")):
+        if not resume or not fsio.exists(self.spark, self._p("docs", "_SUCCESS")):
             if assign_ids:
                 # the offset pass counts every partition anyway, so the
                 # corpus size is free — no extra count() scan
@@ -469,20 +475,18 @@ class IndexBuilder:
         for chunk in range(n_chunks):
             lo, hi = chunk * chunk_docs, (chunk + 1) * chunk_docs
             manifest_path = self._p("manifest", f"chunk_{chunk}.json")
-            if resume and os.path.exists(manifest_path):
-                with open(manifest_path) as f:
-                    chunk_metrics.append(json.load(f))
+            if resume and fsio.exists(self.spark, manifest_path):
+                chunk_metrics.append(fsio.read_json(self.spark, manifest_path))
                 continue
             metrics = self._build_chunk(
                 docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), chunk
             )
-            with open(manifest_path + ".tmp", "w") as f:
-                json.dump(metrics, f)
-            os.replace(manifest_path + ".tmp", manifest_path)  # atomic commit
+            metrics["base"] = lo
+            fsio.write_json_atomic(self.spark, manifest_path, metrics)
             chunk_metrics.append(metrics)
 
         t_fin = time.time()
-        self._finalize(num_docs)
+        self._finalize(num_docs, n_chunks=n_chunks, ingest=ingest)
         phases["finalize"] = time.time() - t_fin
         if n_chunks > 1:
             docs.unpersist()
@@ -497,29 +501,11 @@ class IndexBuilder:
             "docs_per_sec": num_docs / wall if wall else 0.0,
             "chunks": chunk_metrics,
         }
-        with open(self._p("build_metrics.json"), "w") as f:
-            json.dump(totals, f, indent=1)
+        fsio.write_json_atomic(self.spark, self._p("build_metrics.json"), totals)
         return totals
 
-    def append(self, transcripts: DataFrame) -> dict:
-        """Incrementally index new transcripts into an EXISTING index —
-        a capability the reference lacks (its Spimi rebuilds from zero,
-        ``diskindex.py:130-135``) but a continuously-ingesting corpus
-        needs: the new batch becomes one more committed chunk.
-
-        New doc ids start at the next block boundary past every
-        existing id, so the batch's (term, block_id) cells are disjoint
-        from all prior chunks and no existing posting row is rewritten
-        — append cost is O(new docs), not O(index). The id sequence
-        therefore has a gap of up to ``block_span - 1`` per append
-        (queries never assume density; ``num_docs`` stays the true doc
-        COUNT for scoring). Within a batch, ids follow (conv_id,
-        turn_idx) order like a fresh build; across batches, arrival
-        order. The terms/kgrams dictionaries are re-aggregated from all
-        chunks' metadata (cheap — they never touch posting bytes).
-        """
-        with open(self._p("_meta.json")) as f:
-            meta = json.load(f)
+    def _read_meta(self) -> dict:
+        meta = fsio.read_json(self.spark, self._p("_meta.json"))
         if meta.get("format_version") != FORMAT_VERSION:
             raise ValueError(
                 f"cannot append to format_version {meta.get('format_version')} "
@@ -535,33 +521,135 @@ class IndexBuilder:
                 f"index has term_buckets {meta['term_buckets']}, builder has "
                 f"{self.term_buckets}"
             )
+        return meta
+
+    def _manifest_chunks(self) -> list[int]:
+        """Committed chunk ids, from the manifest directory listing."""
+        out = []
+        for name in fsio.listdir(self.spark, self._p("manifest")):
+            if name.startswith("chunk_") and name.endswith(".json"):
+                out.append(int(name[len("chunk_") : -len(".json")]))
+        return sorted(out)
+
+    def recover(self, meta: dict | None = None) -> dict:
+        """Roll the dictionary/meta forward over any chunk whose manifest
+        committed but whose finalize never ran (crash between the two).
+
+        The chunk manifest is the COMMIT POINT of an append: it records
+        (base, n_docs, ingest) so this replay needs nothing else. Chunks
+        are applied in id order; each replayed finalize ends with an
+        atomic ``_meta.json`` write, so recovery itself is resumable.
+        Returns the up-to-date meta.
+        """
+        if meta is None:
+            meta = self._read_meta()
+        for chunk in self._manifest_chunks():
+            if chunk < meta["n_chunks"]:
+                continue
+            m = fsio.read_json(self.spark, self._p("manifest", f"chunk_{chunk}.json"))
+            if "n_docs" not in m:
+                raise ValueError(
+                    f"chunk {chunk} manifest has no append provenance; "
+                    "re-run IndexBuilder.build(resume=True) to finalize"
+                )
+            meta = self._finalize_incremental(
+                chunk,
+                meta,
+                base=m["base"],
+                n_docs=m["n_docs"],
+                ingest=m.get("ingest"),
+            )["meta"]
+        return meta
+
+    def append(
+        self,
+        transcripts: DataFrame,
+        ingest: dict | None = None,
+    ) -> dict:
+        """Incrementally index new transcripts into an EXISTING index —
+        a capability the reference lacks (its Spimi rebuilds from zero,
+        ``diskindex.py:130-135``) but a continuously-ingesting corpus
+        needs: the new batch becomes one more committed chunk.
+
+        New doc ids start at the next block boundary past every
+        existing id, so the batch's (term, block_id) cells are disjoint
+        from all prior chunks and no existing posting row is rewritten
+        — append cost is O(new docs) for the postings and O(dictionary)
+        for the finalize (:meth:`_finalize_incremental`), never
+        O(index). The id sequence has a gap of up to ``block_span - 1``
+        per append (queries never assume density; ``num_docs`` stays the
+        true doc COUNT for scoring).
+
+        Crash safety (the commit protocol):
+
+        1. docs parquet append — uncommitted task files live under
+           ``_temporary`` and are invisible; committed-but-unmanifested
+           rows are ORPHANS, skipped forever by the next append's
+           orphan probe (max doc_id >= base ⇒ bump base past them) and
+           never reachable from postings;
+        2. chunk build (per-chunk dirs, mode overwrite — a replay of a
+           half-built chunk simply rewrites it);
+        3. chunk manifest atomic write — THE commit point; it records
+           (base, n_docs, ingest) so step 4 can be replayed;
+        4. incremental finalize + atomic ``_meta.json`` — if a crash
+           lands between 3 and 4, the next :meth:`recover`/append/open
+           replays 4 from the manifest.
+
+        ``ingest``: optional ``{"lineage": ..., "batch_id": ...}``
+        provenance recorded in the manifest and meta — the streaming
+        layer's exactly-once replay guard (:mod:`..streaming.ingest`).
+        If the given (lineage, batch_id) is already committed, the
+        append is skipped and ``{"skipped": True}`` is returned.
+        """
+        meta = self.recover()
+        if ingest is not None:
+            last = meta.get("ingest") or {}
+            if (
+                last.get("lineage") == ingest.get("lineage")
+                and last.get("batch_id") is not None
+                and ingest.get("batch_id") <= last["batch_id"]
+            ):
+                return {"skipped": True, "reason": "batch already committed"}
         t0 = time.time()
         next_id = meta.get("next_doc_id", meta["num_docs"])
         base = math.ceil(next_id / self.block_span) * self.block_span
+        # orphan probe: docs rows at/after base mean a prior append
+        # crashed before its manifest commit — skip past them (they have
+        # no postings; dead weight until a compaction rewrites docs)
+        max_doc = (
+            self.spark.read.parquet(self._p("docs"))
+            .where(F.col("doc_id") >= base)
+            .agg(F.max("doc_id"))
+            .first()[0]
+        )
+        if max_doc is not None:
+            base = math.ceil((max_doc + 1) / self.block_span) * self.block_span
         new_docs, n_new, parted = with_doc_ids_counted(transcripts)
         new_docs = new_docs.withColumn("doc_id", F.col("doc_id") + F.lit(base))
         new_docs.write.mode("append").parquet(self._p("docs"))
         if parted is not None:
             parted.unpersist()
-        chunk = len(
-            [f for f in os.listdir(self._p("manifest")) if f.endswith(".json")]
-        )
+        chunk = meta["n_chunks"]
         docs = self.spark.read.parquet(self._p("docs")).where(
             F.col("doc_id") >= base
         )
         metrics = self._build_chunk(docs, chunk)
-        manifest_path = self._p("manifest", f"chunk_{chunk}.json")
-        with open(manifest_path + ".tmp", "w") as f:
-            json.dump(metrics, f)
-        os.replace(manifest_path + ".tmp", manifest_path)
-        num_docs = meta["num_docs"] + n_new
-        self._finalize(num_docs, next_doc_id=base + n_new)
+        metrics.update({"base": base, "n_docs": n_new})
+        if ingest is not None:
+            metrics["ingest"] = ingest
+        fsio.write_json_atomic(
+            self.spark, self._p("manifest", f"chunk_{chunk}.json"), metrics
+        )
+        fin = self._finalize_incremental(
+            chunk, meta, base=base, n_docs=n_new, ingest=ingest
+        )
         return {
             "appended_docs": n_new,
             "first_doc_id": base,
-            "num_docs": num_docs,
+            "num_docs": fin["meta"]["num_docs"],
             "chunk": chunk,
             "secs": round(time.time() - t0, 2),
+            "finalize_scans": fin["scans"],
         }
 
     # -- internals -------------------------------------------------------------
@@ -666,7 +754,33 @@ class IndexBuilder:
             },
         }
 
-    def _finalize(self, num_docs: int, next_doc_id: int | None = None) -> None:
+    def _term_parts(self, num_docs: int) -> int:
+        # hash-partitioned + term-sorted: lookups go through an
+        # isin-pushed scan, never a sorted single file — a
+        # repartition(1) funnel would OOM one task at 10^12-doc
+        # vocabulary sizes. Width scales with corpus size so a small
+        # index stays a handful of files.
+        return max(1, min(self.write_partitions, num_docs // (1 << 16) + 1))
+
+    def _write_terms(self, terms: DataFrame, name: str, num_docs: int) -> None:
+        terms.repartition(self._term_parts(num_docs), "term").sortWithinPartitions(
+            "term"
+        ).write.mode("overwrite").parquet(self._p(name))
+        self._ensure_readable(self._p(name), "term string, df long, cf long")
+
+    def _write_meta(self, meta: dict) -> None:
+        fsio.write_json_atomic(self.spark, self._p("_meta.json"), meta)
+        # GC superseded terms snapshots (best-effort, post-commit)
+        current = meta["terms_table"]
+        for name in fsio.listdir(self.spark, self.index_dir):
+            if name.startswith("terms_v") and name != current:
+                fsio.delete(self.spark, self._p(name))
+
+    def _finalize(
+        self, num_docs: int, n_chunks: int = 1, ingest: dict | None = None
+    ) -> None:
+        """Full-build finalize: aggregate the dictionary tables over ALL
+        chunks (appends use :meth:`_finalize_incremental` instead)."""
         # corpus token count for BM25's avgdl — one tiny aggregate over
         # the (already-written) doc_stats table
         total_tokens = int(
@@ -679,16 +793,11 @@ class IndexBuilder:
             F.sum("df_block").cast("long").alias("df"),
             F.sum("sum_tf").cast("long").alias("cf"),
         )
-        # hash-partitioned + term-sorted like the kgrams table: lookups
-        # go through an isin-pushed scan, never a sorted single file —
-        # a repartition(1) funnel would OOM one task at 10^12-doc
-        # vocabulary sizes. Width scales with corpus size so a small
-        # index stays a handful of files.
-        term_parts = max(1, min(self.write_partitions, num_docs // (1 << 16) + 1))
-        terms.repartition(term_parts, "term").sortWithinPartitions(
-            "term"
-        ).write.mode("overwrite").parquet(self._p("terms"))
-        self._ensure_readable(self._p("terms"), "term string, df long, cf long")
+        # the dictionary is a versioned snapshot: writers create
+        # terms_v<N> and atomically flip meta["terms_table"] — readers
+        # always see a complete table, appends never rewrite in place
+        terms_name = f"terms_v{n_chunks:06d}"
+        self._write_terms(terms, terms_name, num_docs)
 
         vocab = (
             self.spark.read.parquet(self._p("vocab_chunks"))
@@ -710,17 +819,117 @@ class IndexBuilder:
         )
         self._ensure_readable(self._p("vocab"), "word string, n_grams int")
 
-        with open(self._p("_meta.json"), "w") as f:
-            json.dump(
-                {
-                    "num_docs": num_docs,
-                    "next_doc_id": (
-                        num_docs if next_doc_id is None else next_doc_id
-                    ),
-                    "total_tokens": total_tokens,
-                    "block_span": self.block_span,
-                    "term_buckets": self.term_buckets,
-                    "format_version": FORMAT_VERSION,
-                },
-                f,
+        meta = {
+            "num_docs": num_docs,
+            "next_doc_id": num_docs,
+            "total_tokens": total_tokens,
+            "block_span": self.block_span,
+            "term_buckets": self.term_buckets,
+            "format_version": FORMAT_VERSION,
+            "n_chunks": n_chunks,
+            "terms_table": terms_name,
+        }
+        if ingest is not None:
+            meta["ingest"] = ingest
+        self._write_meta(meta)
+
+    def _finalize_incremental(
+        self,
+        chunk: int,
+        meta: dict,
+        base: int,
+        n_docs: int,
+        ingest: dict | None = None,
+    ) -> dict:
+        """Finalize ONE appended chunk in O(new docs) + O(dictionary):
+
+        * total_tokens += one aggregate over the chunk's doc_stats;
+        * terms: the chunk's (term, df, cf) delta merged with the
+          current dictionary into a NEW snapshot ``terms_v<n+1>``
+          (O(vocabulary), never O(posting metadata across all chunks));
+        * kgrams/vocab: the chunk's novel words (anti-join against the
+          vocab table) appended — O(new words) only;
+        * atomic meta flip (num_docs, next_doc_id, total_tokens,
+          n_chunks, terms_table pointer, ingest provenance).
+
+        Crash mid-way is safe: kgram/vocab appends can at worst run
+        twice before the meta flip (duplicate (gram, word) rows — every
+        reader of those tables dedups with ``count_distinct``/
+        ``distinct``), and the terms snapshot only becomes visible via
+        the atomic meta write; :meth:`recover` replays this method from
+        the chunk manifest.
+
+        Returns ``{"meta": new_meta, "scans": {table: [input files]}}``
+        — the scans map is asserted by tests to touch ONLY the new
+        chunk's directories (plus the dictionary tables themselves).
+        """
+        spark = self.spark
+        delta_stats = spark.read.parquet(self._p("doc_stats", f"chunk={chunk}"))
+        delta_tokens = int(
+            delta_stats.agg(F.coalesce(F.sum("doc_len"), F.lit(0))).first()[0]
+        )
+        delta_postings = spark.read.parquet(self._p("postings", f"chunk={chunk}"))
+        delta_terms = delta_postings.groupBy("term").agg(
+            F.sum("df_block").cast("long").alias("df"),
+            F.sum("sum_tf").cast("long").alias("cf"),
+        )
+        old_terms = spark.read.parquet(self._p(meta["terms_table"]))
+        num_docs = meta["num_docs"] + n_docs
+        merged = (
+            old_terms.unionByName(delta_terms)
+            .groupBy("term")
+            .agg(
+                F.sum("df").cast("long").alias("df"),
+                F.sum("cf").cast("long").alias("cf"),
             )
+        )
+        terms_name = f"terms_v{chunk + 1:06d}"
+        self._write_terms(merged, terms_name, num_docs)
+
+        new_vocab = (
+            spark.read.parquet(self._p("vocab_chunks", f"chunk={chunk}"))
+            .select("word")
+            .distinct()
+        )
+        existing = spark.read.parquet(self._p("vocab")).select("word")
+        novel = (
+            new_vocab.join(existing, "word", "left_anti")
+            .withColumn("grams", kgrams_udf("word"))
+            .withColumn("n_grams", F.size("grams"))
+        )
+        novel.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            novel.select(
+                F.explode("grams").alias("gram"), "word", "n_grams"
+            ).repartition(
+                max(1, self._term_parts(num_docs) // 4), "gram"
+            ).sortWithinPartitions("gram").write.mode("append").parquet(
+                self._p("kgrams")
+            )
+            novel.select("word", "n_grams").write.mode("append").parquet(
+                self._p("vocab")
+            )
+        finally:
+            novel.unpersist()
+
+        new_meta = dict(meta)
+        new_meta.update(
+            {
+                "num_docs": num_docs,
+                "next_doc_id": base + n_docs,
+                "total_tokens": meta["total_tokens"] + delta_tokens,
+                "n_chunks": chunk + 1,
+                "terms_table": terms_name,
+            }
+        )
+        if ingest is not None:
+            new_meta["ingest"] = ingest
+        self._write_meta(new_meta)
+        return {
+            "meta": new_meta,
+            "scans": {
+                "doc_stats": sorted(delta_stats.inputFiles()),
+                "postings": sorted(delta_postings.inputFiles()),
+                "vocab_chunks": sorted(new_vocab.inputFiles()),
+            },
+        }

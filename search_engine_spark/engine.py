@@ -18,8 +18,6 @@ top-k), boolean set algebra is join/union over per-conjunct doc sets.
 
 from __future__ import annotations
 
-import json
-import os
 import re
 import shlex
 from math import log
@@ -31,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from search_engine_spark import fsio
 from search_engine_spark.build import IndexBuilder  # noqa: F401  (re-export)
 from search_engine_spark.functions import codec
 from search_engine_spark.text.kgrams import kgrams, wildcard_grams
@@ -187,8 +186,7 @@ class TranscriptSearchEngine:
         self.spark = spark
         self.index_dir = index_dir
         self.cache = cache
-        with open(os.path.join(index_dir, "_meta.json")) as f:
-            meta = json.load(f)
+        meta = fsio.read_json(spark, fsio.join(index_dir, "_meta.json"))
         from search_engine_spark.build import FORMAT_VERSION
 
         if meta.get("format_version") != FORMAT_VERSION:
@@ -197,11 +195,18 @@ class TranscriptSearchEngine:
                 f"{meta.get('format_version')}, this engine needs "
                 f"{FORMAT_VERSION} — rebuild the index"
             )
+        self._apply_meta(meta)
+        self._tables: dict[str, DataFrame] = {}
+
+    def _apply_meta(self, meta: dict) -> None:
         self.num_docs: int = meta["num_docs"]
         self.total_tokens: int = meta["total_tokens"]
         self.block_span: int = meta["block_span"]
         self.term_buckets: int = meta["term_buckets"]
-        self._tables: dict[str, DataFrame] = {}
+        # the dictionary is a versioned snapshot — meta names the
+        # current one (writers flip the pointer atomically; see
+        # IndexBuilder._finalize_incremental)
+        self._terms_name: str = meta["terms_table"]
 
     def _load(self, name: str) -> DataFrame:
         """Lazily read an index table, right-sized for caching.
@@ -216,15 +221,11 @@ class TranscriptSearchEngine:
         """
         if name in self._tables:
             return self._tables[name]
-        path = os.path.join(self.index_dir, name)
+        path = fsio.join(self.index_dir, name)
         df = self.spark.read.parquet(path)
         if self.cache and name != "docs":
             limit = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-            nbytes = sum(
-                os.path.getsize(os.path.join(root, f))
-                for root, _d, files in os.walk(path)
-                for f in files
-            )
+            nbytes = fsio.tree_bytes(self.spark, path)
             parts = max(1, min(limit, nbytes // (32 << 20) + 1))
             df = df.coalesce(int(parts))
             # evict any stale cache entry for the same plan: Spark's
@@ -242,7 +243,7 @@ class TranscriptSearchEngine:
 
     @property
     def terms(self) -> DataFrame:
-        return self._load("terms")
+        return self._load(self._terms_name)
 
     @property
     def doc_stats(self) -> DataFrame:
@@ -314,10 +315,9 @@ class TranscriptSearchEngine:
             except Exception:
                 pass
         self._tables.clear()
-        with open(os.path.join(self.index_dir, "_meta.json")) as f:
-            meta = json.load(f)
-        self.num_docs = meta["num_docs"]
-        self.total_tokens = meta["total_tokens"]
+        self._apply_meta(
+            fsio.read_json(self.spark, fsio.join(self.index_dir, "_meta.json"))
+        )
         return info
 
     # ----------------------------------------------------------------- ranked
@@ -581,11 +581,13 @@ class TranscriptSearchEngine:
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def ranked_query_batch(
-        self, queries: list[str], k: int = DEFAULT_K
+        self, queries: list[str], k: int = DEFAULT_K, pruned: bool = False
     ) -> list[list[tuple[int, float]]]:
         """Many ranked queries in ONE Spark job (plus one shared
         dictionary lookup): per-result-set identical to calling
-        :meth:`ranked_query` per query.
+        :meth:`ranked_query` per query. ``pruned=True`` adds per-query
+        block-max WAND selection (:meth:`_ranked_batch_wand`) — still a
+        constant number of jobs for the whole batch.
 
         Per-query job scheduling dominates small-query latency (~1 s
         per job locally; similar per-job overhead on a real cluster),
@@ -609,6 +611,8 @@ class TranscriptSearchEngine:
         ]
         if not rows:
             return [[] for _ in queries]
+        if pruned:
+            return self._ranked_batch_wand(len(queries), rows, k)
         wdf = self.spark.createDataFrame(
             rows, "query_id int, term string, qidx int, wqt double"
         )
@@ -637,6 +641,141 @@ class TranscriptSearchEngine:
         for r in top:
             out[r["query_id"]].append((r["doc_id"], r["score"]))
         return out
+
+    def _ranked_batch_wand(
+        self, n_queries: int, rows: list[tuple[int, str, int, float]], k: int
+    ) -> list[list[tuple[int, float]]]:
+        """Block-max WAND for a whole query batch — per-query results
+        identical to :meth:`ranked_query_wand`, in a CONSTANT number of
+        jobs for the batch (ub aggregation, round-1 scoring, round-2
+        survivor scan + scoring) instead of 2-3 jobs per query.
+
+        Same two-round threshold argument as :meth:`_wand_topk`, with
+        every step keyed by (query_id, block_id): the upper-bound
+        aggregation is one cluster-side job over term-pruned metadata
+        (binary columns never scanned), round 1 takes each query's top
+        ``max(k, 32)`` blocks with one window rank, thresholds come back
+        to the driver as k-th scores, and round 2 scores only surviving
+        (query, block) pairs (ub >= L_q - slack; the 1e-9 relative slack
+        can only UNDER-prune, as in the single-query path).
+        """
+        spark = self.spark
+        n_probe = max(k, 32)
+        occ = spark.createDataFrame(
+            rows, "query_id int, term string, qidx int, wqt double"
+        )
+        by_qt: dict[tuple[int, str], float] = {}
+        for qid, t, _i, w in rows:
+            by_qt[(qid, t)] = by_qt.get((qid, t), 0.0) + w
+        wdf = spark.createDataFrame(
+            [(q, t, w) for (q, t), w in by_qt.items()],
+            "query_id int, term string, wqt double",
+        )
+        all_terms = {t for _q, t, _i, _w in rows}
+        meta = (
+            self._postings_for_terms(all_terms)
+            .join(F.broadcast(wdf), "term")
+            .groupBy("query_id", "block_id")
+            .agg(F.sum(F.col("wqt") * F.col("max_partial")).alias("ub"))
+        )
+        meta.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            from pyspark.sql.window import Window
+
+            w1 = Window.partitionBy("query_id").orderBy(
+                F.desc("ub"), F.asc("block_id")
+            )
+            total_blocks = {
+                r["query_id"]: r["n"]
+                for r in meta.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+            }
+            round1 = [
+                (r["query_id"], r["block_id"])
+                for r in meta.withColumn("rn", F.row_number().over(w1))
+                .where(F.col("rn") <= n_probe)
+                .select("query_id", "block_id")
+                .collect()
+            ]
+            scored = self._score_batch_pairs(occ, all_terms, round1)
+            # running k-th score per query -> round-2 thresholds
+            thresholds: list[tuple[int, float]] = []
+            per_query_n1: dict[int, int] = {}
+            for qid, _b in round1:
+                per_query_n1[qid] = per_query_n1.get(qid, 0) + 1
+            tops: dict[int, list[tuple[int, float]]] = {}
+            for (qid, doc), s in scored.items():
+                tops.setdefault(qid, []).append((doc, s))
+            for qid, lst in tops.items():
+                lst.sort(key=lambda x: (-x[1], x[0]))
+                del lst[k:]
+                if len(lst) == k and per_query_n1.get(qid, 0) == n_probe:
+                    thresholds.append((qid, lst[-1][1]))
+            round2: list[tuple[int, int]] = []
+            if thresholds:
+                tdf = spark.createDataFrame(
+                    thresholds, "query_id int, thr double"
+                )
+                seen = spark.createDataFrame(
+                    round1, "query_id int, block_id long"
+                )
+                round2 = [
+                    (r["query_id"], r["block_id"])
+                    for r in meta.join(F.broadcast(tdf), "query_id")
+                    .where(
+                        F.col("ub")
+                        >= F.col("thr") - F.abs(F.col("thr")) * F.lit(1e-9)
+                    )
+                    .join(
+                        F.broadcast(seen), ["query_id", "block_id"], "left_anti"
+                    )
+                    .select("query_id", "block_id")
+                    .collect()
+                ]
+                if round2:
+                    for (qid, doc), s in self._score_batch_pairs(
+                        occ, all_terms, round2
+                    ).items():
+                        tops.setdefault(qid, []).append((doc, s))
+                    for qid, lst in tops.items():
+                        lst.sort(key=lambda x: (-x[1], x[0]))
+                        del lst[k:]
+        finally:
+            meta.unpersist()
+        self._last_batch_wand_stats = {
+            "total_blocks": total_blocks,
+            "round1_pairs": len(round1),
+            "round2_pairs": len(round2),
+        }
+        return [tops.get(qid, []) for qid in range(n_queries)]
+
+    def _score_batch_pairs(
+        self, occ: DataFrame, terms, pairs: list[tuple[int, int]]
+    ) -> dict[tuple[int, int], float]:
+        """Exact scores for the given (query_id, block_id) pairs — one
+        job; blocks partition the doc space so each doc's score is
+        complete within its pair."""
+        if not pairs:
+            return {}
+        sel = self.spark.createDataFrame(pairs, "query_id int, block_id long")
+        cells = (
+            self._postings_for_terms(terms)
+            .join(F.broadcast(occ), "term")
+            .join(F.broadcast(sel), ["query_id", "block_id"], "left_semi")
+            .select(
+                "query_id", "block_id", "qidx", "wqt", "postings_bin", "weights_bin"
+            )
+        )
+        pdf = (
+            cells.groupBy("query_id", "block_id")
+            .applyInPandas(
+                _block_scorer_keyed(None), "query_id int, doc_id long, score double"
+            )
+            .toPandas()
+        )
+        return {
+            (int(q), int(d)): float(s)
+            for q, d, s in zip(pdf["query_id"], pdf["doc_id"], pdf["score"])
+        }
 
     # ------------------------------------------------------------------ BM25
     def bm25_query_df(
@@ -822,14 +961,35 @@ class TranscriptSearchEngine:
         return sorted(r["word"] for r in rows)
 
     # --------------------------------------------------------------- spelling
+    def _terms_present(self, words: set[str]) -> set[str]:
+        """Subset of ``words`` that exist in the term dictionary — one
+        isin-pushed pruned scan (O(query terms) I/O), replacing the
+        driver-side whole-vocabulary set a 10^9-term index cannot hold."""
+        if not words:
+            return set()
+        rows = (
+            self.terms.where(F.col("term").isin(sorted(words)))
+            .select("term")
+            .collect()
+        )
+        return {r["term"] for r in rows}
+
     def check_spelling(
-        self, query: str, vocab: set[str], ranked_flag: bool = False
+        self, query: str, vocab: set[str] | None = None, ranked_flag: bool = False
     ) -> str | None:
-        """Spell-correct a query against ``vocab`` (reference ``query.py:35-59``)."""
+        """Spell-correct a query (reference ``query.py:35-59``).
+
+        ``vocab=None`` (the scalable default) resolves membership with a
+        pruned dictionary scan; passing an explicit set keeps the
+        reference's signature for parity tests."""
         if ranked_flag:
             terms = query.split()
         else:
             terms = re.findall(r"\w+", query)
+        if vocab is None:
+            vocab = self._terms_present(
+                {remove_special_characters(t) for t in terms if "*" not in t}
+            )
         new_terms = [
             t
             if ("*" in t or remove_special_characters(t) in vocab)

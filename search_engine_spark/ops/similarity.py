@@ -81,12 +81,23 @@ def embedding_near_dup_pairs_exact(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, by exact O(n^2) comparison.
 
     The *oracle/baseline* path — use :func:`embedding_near_dup_pairs_lsh`
-    beyond ~10^5 vectors.
+    for production near-dup sweeps. ``max_rows`` (default 100k ≈ 10^10
+    comparisons) refuses inputs where the cross join would silently
+    burn a cluster; pass ``None`` to override deliberately.
     """
+    if max_rows is not None:
+        n = embeddings.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_near_dup_pairs_exact is the O(n^2) baseline; "
+                f"input exceeds max_rows={max_rows}. Use "
+                f"embedding_near_dup_pairs_lsh, or pass max_rows=None."
+            )
     a = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )

@@ -134,6 +134,10 @@ def bm25_topk(
     tf = tf_table(docs, text_col, id_col)
     doclen = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     total_tokens = doclen.agg(F.sum("dl")).first()[0]
+    if n_docs == 0 or total_tokens is None:
+        # empty corpus: sum() is NULL and avgdl would divide by zero —
+        # return the empty result like the engine path's guard
+        return spark.createDataFrame([], f"{id_col} long, score double")
     avgdl = float(total_tokens) / float(n_docs)
     qdf = spark.createDataFrame([(t,) for t in set(query_terms)], "term string")
     dfs = term_stats(tf).join(F.broadcast(qdf), "term").select("term", "df")

@@ -9,22 +9,27 @@ becomes one committed, block-aligned index chunk.
 
 Exactly-once discipline: Structured Streaming's checkpoint guarantees
 each source file lands in exactly one batch_id, but ``foreachBatch``
-may RE-RUN a batch after a crash between the append and the stream
-commit. ``append`` is not idempotent (a replay would re-index the
-batch under fresh doc ids), so the handler records the last committed
-batch_id inside the index directory (atomic rename, same discipline as
-the chunk manifests) and skips any batch at or below it — replays
-become no-ops and the index is exactly-once with respect to the
-stream.
+may RE-RUN a batch after a crash anywhere before the stream commit.
+Replays are fenced at TWO levels, both keyed by the stream's LINEAGE
+(the checkpoint location — restarting against a new checkpoint
+renumbers batches from 0, so a bare batch_id would wrongly skip
+genuinely new data):
+
+1. ``_stream_state.json`` in the index dir (fast path, atomic rename)
+   records the last committed (lineage, batch_id);
+2. the (lineage, batch_id) is passed into ``IndexBuilder.append`` as
+   ingest provenance — it lands in the chunk manifest and ``_meta.json``
+   at the append's OWN commit point, so a crash between the append
+   commit and (1) still skips the replay (``build.py::append``), and a
+   crash *inside* the append is rolled forward/past by its recovery
+   protocol (orphan probe + manifest replay).
 """
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
+from search_engine_spark import fsio
 from search_engine_spark.build import IndexBuilder
 
 # The transcript landing schema (BASELINE.json input_hint). A schema is
@@ -37,37 +42,49 @@ TRANSCRIPT_SCHEMA = (
 _STATE_FILE = "_stream_state.json"
 
 
-def _last_committed_batch(index_dir: str) -> int:
-    path = os.path.join(index_dir, _STATE_FILE)
-    if not os.path.exists(path):
+def _last_committed_batch(spark, index_dir: str, lineage: str) -> int:
+    path = fsio.join(index_dir, _STATE_FILE)
+    if not fsio.exists(spark, path):
         return -1
-    with open(path) as f:
-        return json.load(f)["batch_id"]
+    state = fsio.read_json(spark, path)
+    if state.get("lineage") != lineage:
+        return -1  # different checkpoint → different batch numbering
+    return state["batch_id"]
 
 
-def _commit_batch(index_dir: str, batch_id: int) -> None:
-    path = os.path.join(index_dir, _STATE_FILE)
-    with open(path + ".tmp", "w") as f:
-        json.dump({"batch_id": batch_id}, f)
-    os.replace(path + ".tmp", path)
+def _commit_batch(spark, index_dir: str, lineage: str, batch_id: int) -> None:
+    fsio.write_json_atomic(
+        spark,
+        fsio.join(index_dir, _STATE_FILE),
+        {"lineage": lineage, "batch_id": batch_id},
+    )
 
 
 def index_batch(
-    builder: IndexBuilder, batch_df: DataFrame, batch_id: int
+    builder: IndexBuilder,
+    batch_df: DataFrame,
+    batch_id: int,
+    lineage: str = "",
 ) -> dict | None:
     """Index one micro-batch: first batch builds, later ones append;
-    replayed batch_ids are skipped (see module docstring)."""
+    replayed (lineage, batch_id) pairs are skipped (module docstring)."""
+    spark = builder.spark
     index_dir = builder.index_dir
-    if batch_id <= _last_committed_batch(index_dir):
+    if batch_id <= _last_committed_batch(spark, index_dir, lineage):
         return None
     if batch_df.isEmpty():
-        _commit_batch(index_dir, batch_id)
+        _commit_batch(spark, index_dir, lineage, batch_id)
         return None
-    if os.path.exists(os.path.join(index_dir, "_meta.json")):
-        info = builder.append(batch_df)
+    ingest = {"lineage": lineage, "batch_id": batch_id}
+    if fsio.exists(spark, fsio.join(index_dir, "_meta.json")):
+        info = builder.append(batch_df, ingest=ingest)
+        if info.get("skipped"):
+            info = None
     else:
-        info = builder.build(batch_df)
-    _commit_batch(index_dir, batch_id)
+        # provenance lands in the build's own atomic meta commit, so a
+        # replay of batch 0 cannot be re-indexed as an append
+        info = builder.build(batch_df, ingest=ingest)
+    _commit_batch(spark, index_dir, lineage, batch_id)
     return info
 
 
@@ -89,7 +106,8 @@ def start_index_stream(
     returned ``StreamingQuery`` is the handle (``awaitTermination`` /
     ``stop``). ``max_files_per_trigger`` bounds micro-batch size so an
     initial backlog becomes several block-aligned chunks instead of
-    one giant one.
+    one giant one. The checkpoint location doubles as the replay
+    lineage key (module docstring).
     """
     builder = IndexBuilder(spark, index_dir, **builder_kwargs)
     reader = spark.readStream.schema(schema)
@@ -98,7 +116,8 @@ def start_index_stream(
     stream = reader.parquet(source_dir)
 
     writer = stream.writeStream.foreachBatch(
-        lambda df, bid: index_batch(builder, df, bid) and None
+        lambda df, bid: index_batch(builder, df, bid, lineage=checkpoint_dir)
+        and None
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

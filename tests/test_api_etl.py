@@ -15,9 +15,14 @@ def service(spark, tmp_path_factory):
     return svc
 
 
-def test_buildindex_summary(service):
+def test_buildindex_summary(service, spark, tmp_path_factory):
     assert service.engine.num_docs == 5
-    assert "test" in service.vocab and "document" in service.vocab
+    svc2 = SearchService(spark)
+    summary = svc2.buildindex(
+        golden_transcripts(spark), str(tmp_path_factory.mktemp("api2") / "index")
+    )
+    assert "test" in summary["terms"] and "document" in summary["terms"]
+    assert summary["term_count"] == len(summary["terms"])
 
 
 def test_query_boolean(service):

@@ -39,3 +39,39 @@ def test_wand_k_variants(wand_engine):
         exhaustive = wand_engine.ranked_query("test spark data", k=k)
         pruned = wand_engine.ranked_query("test spark data", k=k, pruned=True)
         assert [d for d, _ in pruned] == [d for d, _ in exhaustive]
+
+
+def test_batch_wand_identical_to_per_query(wand_engine):
+    """Batch WAND == per-query WAND == exhaustive batch, per result set."""
+    batch_pruned = wand_engine.ranked_query_batch(QUERIES, k=10, pruned=True)
+    batch_plain = wand_engine.ranked_query_batch(QUERIES, k=10)
+    for q, got, plain in zip(QUERIES, batch_pruned, batch_plain):
+        single = wand_engine.ranked_query(q, k=10, pruned=True)
+        assert [d for d, _ in got] == [d for d, _ in single], q
+        assert [d for d, _ in got] == [d for d, _ in plain], q
+        for (_, a), (_, b) in zip(got, plain):
+            assert a == pytest.approx(b, abs=1e-12)
+
+
+@pytest.fixture(scope="module")
+def fine_engine(spark, tmp_path_factory):
+    """block_span=1 -> one block per doc (400 blocks): pruning must
+    actually skip blocks, not just match ranks."""
+    index_dir = str(tmp_path_factory.mktemp("wand_fine") / "index")
+    tr = synthetic_transcripts(spark, n_convs=40, turns_per_conv=10)
+    return TranscriptSearchEngine.build(spark, tr, index_dir, block_span=1)
+
+
+def test_batch_wand_prunes_blocks(fine_engine):
+    queries = ["test here data", "the test data spark index query"]
+    pruned = fine_engine.ranked_query_batch(queries, k=10, pruned=True)
+    plain = fine_engine.ranked_query_batch(queries, k=10)
+    assert pruned == plain
+    stats = fine_engine._last_batch_wand_stats
+    scored_pairs = stats["round1_pairs"] + stats["round2_pairs"]
+    total_pairs = sum(stats["total_blocks"].values())
+    # every query has ~400 candidate blocks; selection must touch
+    # strictly fewer than the exhaustive plan would
+    assert scored_pairs < total_pairs, stats
+    for qid, total in stats["total_blocks"].items():
+        assert total > 32
