@@ -5,9 +5,12 @@ engine, ranked retrieval over sf0.001 documents-as-transcripts).
 ``queries``/``oracle_sql`` expose the operator catalog from
 ``search_engine_spark.contract`` — each Spark plan paired with a
 DuckDB-runnable SQL oracle replicating its exact semantics (md5-derived
-hashing + fixed-precision rounding make outputs bit-comparable).
-Rows-only entries (Porter2 engine, approximate ANN, multimodal UDFs)
-have no oracle because their semantics are not ANSI-SQL-expressible.
+hashing + fixed-precision rounding make outputs bit-comparable). The
+Porter2 engine and seeded-LSH ANN entries get oracles via materialized
+deterministic inputs (stemmed-tf dump / inlined hyperplane+bucket
+literals, see ``contract.py``); only ``ann_ivf_topk`` (Spark-float
+centroid sums are not bit-reproducible outside Spark) and
+``multimodal_features`` remain rows-only.
 """
 
 from __future__ import annotations

@@ -83,6 +83,10 @@ def main() -> None:
         for b in ["query", "vector", "stream", "dup"]
     ]
     timed("ranked_batch16", lambda: eng.ranked_query_batch(batch_queries, k=10))
+    timed(
+        "ranked_batch16_wand",
+        lambda: eng.ranked_query_batch(batch_queries, k=10, pruned=True),
+    )
     timed("phrase_query", lambda: eng.boolean_query('"hash join"'))
     timed("wildcard_ranked", lambda: eng.ranked_query("s*m query"))
 
@@ -112,6 +116,12 @@ def main() -> None:
         .join(textstats.fingerprints(docs), "doc_id")
         .count(),
     )
+
+    # ---- incremental append (last: it mutates the bench index) ------------
+    # 1% of the corpus as one append chunk — with the incremental
+    # finalize this must cost O(new docs) + O(dictionary), not O(index)
+    delta = documents_as_transcripts(docs.limit(max(n_turns // 100, 1)))
+    timed("append_1pct", lambda: eng.append(delta))
 
     total = round(sum(timings.values()), 3)
     build_tps = round(n_turns / timings["build_index"], 2)

@@ -70,6 +70,18 @@ MAX_BLOCK_SPAN = 1 << 30
 # rest). N is fixed per index and recorded in _meta.json.
 DEFAULT_TERM_BUCKETS = 32
 
+# Logical table -> physical directory name. Fresh builds use the
+# identity map; compaction rewrites tables under generation-suffixed
+# names and flips the map atomically in _meta.json (same snapshot
+# discipline as the versioned terms dictionary).
+DEFAULT_TABLES = {
+    name: name
+    for name in (
+        "docs", "doc_stats", "postings", "vocab_chunks", "kgrams", "vocab",
+        "manifest",
+    )
+}
+
 # Bump whenever the on-disk table layout changes (readers refuse
 # mismatched indexes instead of failing mid-query).
 # v6: versioned terms dictionary (meta["terms_table"] snapshot pointer),
@@ -396,6 +408,7 @@ class IndexBuilder:
         self.index_dir = index_dir
         self.block_span = block_span
         self.term_buckets = term_buckets
+        self.tables: dict[str, str] = dict(DEFAULT_TABLES)
         self.write_partitions = write_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
@@ -403,6 +416,10 @@ class IndexBuilder:
     # -- paths ---------------------------------------------------------------
     def _p(self, *parts: str) -> str:
         return fsio.join(self.index_dir, *parts)
+
+    def _t(self, logical: str, *parts: str) -> str:
+        """Path of a logical table's CURRENT physical directory."""
+        return self._p(self.tables.get(logical, logical), *parts)
 
     def _ensure_readable(self, path: str, schema) -> None:
         """A zero-row write emits no parquet files, and a footerless
@@ -439,21 +456,25 @@ class IndexBuilder:
         phases: dict[str, float] = {}
         if not resume and fsio.exists(self.spark, self.index_dir):
             fsio.delete(self.spark, self.index_dir)
-        fsio.mkdirs(self.spark, self._p("manifest"))
+        if resume and fsio.exists(self.spark, self._p("_meta.json")):
+            self._read_meta()  # pick up the live table map (post-compaction)
+        else:
+            self.tables = dict(DEFAULT_TABLES)
+        fsio.mkdirs(self.spark, self._t("manifest"))
 
         num_docs = None
-        if not resume or not fsio.exists(self.spark, self._p("docs", "_SUCCESS")):
+        if not resume or not fsio.exists(self.spark, self._t("docs", "_SUCCESS")):
             if assign_ids:
                 # the offset pass counts every partition anyway, so the
                 # corpus size is free — no extra count() scan
                 docs, num_docs, parted = with_doc_ids_counted(transcripts)
             else:
                 docs, parted = transcripts, None
-            docs.write.mode("overwrite").parquet(self._p("docs"))
-            self._ensure_readable(self._p("docs"), docs.schema)
+            docs.write.mode("overwrite").parquet(self._t("docs"))
+            self._ensure_readable(self._t("docs"), docs.schema)
             if parted is not None:
                 parted.unpersist()
-        docs = self.spark.read.parquet(self._p("docs"))
+        docs = self.spark.read.parquet(self._t("docs"))
         if num_docs is None:
             num_docs = docs.count()
         phases["doc_ids"] = time.time() - t0
@@ -474,7 +495,7 @@ class IndexBuilder:
         chunk_metrics = []
         for chunk in range(n_chunks):
             lo, hi = chunk * chunk_docs, (chunk + 1) * chunk_docs
-            manifest_path = self._p("manifest", f"chunk_{chunk}.json")
+            manifest_path = self._t("manifest", f"chunk_{chunk}.json")
             if resume and fsio.exists(self.spark, manifest_path):
                 chunk_metrics.append(fsio.read_json(self.spark, manifest_path))
                 continue
@@ -506,6 +527,7 @@ class IndexBuilder:
 
     def _read_meta(self) -> dict:
         meta = fsio.read_json(self.spark, self._p("_meta.json"))
+        self.tables = dict(meta.get("tables", DEFAULT_TABLES))
         if meta.get("format_version") != FORMAT_VERSION:
             raise ValueError(
                 f"cannot append to format_version {meta.get('format_version')} "
@@ -526,7 +548,7 @@ class IndexBuilder:
     def _manifest_chunks(self) -> list[int]:
         """Committed chunk ids, from the manifest directory listing."""
         out = []
-        for name in fsio.listdir(self.spark, self._p("manifest")):
+        for name in fsio.listdir(self.spark, self._t("manifest")):
             if name.startswith("chunk_") and name.endswith(".json"):
                 out.append(int(name[len("chunk_") : -len(".json")]))
         return sorted(out)
@@ -546,7 +568,7 @@ class IndexBuilder:
         for chunk in self._manifest_chunks():
             if chunk < meta["n_chunks"]:
                 continue
-            m = fsio.read_json(self.spark, self._p("manifest", f"chunk_{chunk}.json"))
+            m = fsio.read_json(self.spark, self._t("manifest", f"chunk_{chunk}.json"))
             if "n_docs" not in m:
                 raise ValueError(
                     f"chunk {chunk} manifest has no append provenance; "
@@ -617,7 +639,7 @@ class IndexBuilder:
         # crashed before its manifest commit — skip past them (they have
         # no postings; dead weight until a compaction rewrites docs)
         max_doc = (
-            self.spark.read.parquet(self._p("docs"))
+            self.spark.read.parquet(self._t("docs"))
             .where(F.col("doc_id") >= base)
             .agg(F.max("doc_id"))
             .first()[0]
@@ -626,11 +648,11 @@ class IndexBuilder:
             base = math.ceil((max_doc + 1) / self.block_span) * self.block_span
         new_docs, n_new, parted = with_doc_ids_counted(transcripts)
         new_docs = new_docs.withColumn("doc_id", F.col("doc_id") + F.lit(base))
-        new_docs.write.mode("append").parquet(self._p("docs"))
+        new_docs.write.mode("append").parquet(self._t("docs"))
         if parted is not None:
             parted.unpersist()
         chunk = meta["n_chunks"]
-        docs = self.spark.read.parquet(self._p("docs")).where(
+        docs = self.spark.read.parquet(self._t("docs")).where(
             F.col("doc_id") >= base
         )
         metrics = self._build_chunk(docs, chunk)
@@ -638,7 +660,7 @@ class IndexBuilder:
         if ingest is not None:
             metrics["ingest"] = ingest
         fsio.write_json_atomic(
-            self.spark, self._p("manifest", f"chunk_{chunk}.json"), metrics
+            self.spark, self._t("manifest", f"chunk_{chunk}.json"), metrics
         )
         fin = self._finalize_incremental(
             chunk, meta, base=base, n_docs=n_new, ingest=ingest
@@ -650,6 +672,149 @@ class IndexBuilder:
             "chunk": chunk,
             "secs": round(time.time() - t0, 2),
             "finalize_scans": fin["scans"],
+        }
+
+    def compact(self) -> dict:
+        """LSM-style maintenance: rewrite the index's data tables into
+        one consolidated generation and flip the table map atomically.
+
+        Why it exists: streaming ingestion commits one chunk per
+        micro-batch, so a long-lived index accumulates thousands of
+        small ``chunk=N`` directories (file-listing and footer overhead
+        on every pruned scan), orphan docs rows from crashed appends
+        (dead weight in the docs table), and possibly duplicated
+        kgram/vocab rows from crash-replayed finalizes. Compaction is
+        the O(index) repair op that amortizes all three away — run it
+        occasionally, not per batch.
+
+        What it does (doc ids are PRESERVED — postings bytes are
+        rewritten into fewer, term-sorted files but never re-keyed):
+
+        * docs: orphan rows vacuumed (semi-join against doc_stats),
+          rewritten range-partitioned by doc_id;
+        * postings: all chunks merged into one ``chunk=0`` generation
+          via the same bucket-major fused shuffle as the build;
+        * doc_stats / vocab_chunks: consolidated to one chunk;
+        * kgrams / vocab: deduplicated;
+        * manifest: reset to a single consolidated entry.
+
+        Commit discipline: every rewrite lands under fresh
+        ``<table>_c<generation>`` directories; nothing is visible until
+        the single atomic ``_meta.json`` write flips the map
+        (``meta["tables"]``), after which the old generation is GC'd
+        best-effort. A crash mid-compaction leaves the live index
+        untouched plus some garbage directories a later compaction's GC
+        sweeps up.
+        """
+        spark = self.spark
+        meta = self.recover()
+        t0 = time.time()
+        gen = meta.get("compactions", 0) + 1
+        new = {logical: f"{logical}_c{gen:04d}" for logical in DEFAULT_TABLES}
+        old_tables = dict(self.tables)
+
+        # docs: vacuum orphans, preserve ids, range-layout for locality
+        docs = spark.read.parquet(self._t("docs"))
+        live_ids = spark.read.parquet(self._t("doc_stats")).select("doc_id")
+        live = docs.join(live_ids, "doc_id", "left_semi")
+        n_docs_before = docs.count()
+        (
+            live.repartitionByRange(self.write_partitions, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(self._p(new["docs"]))
+        )
+        self._ensure_readable(self._p(new["docs"]), docs.schema)
+
+        # doc_stats -> one chunk
+        stats = spark.read.parquet(self._t("doc_stats")).drop("chunk")
+        (
+            stats.repartitionByRange(self.write_partitions, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(self._p(new["doc_stats"], "chunk=0"))
+        )
+        self._ensure_readable(
+            self._p(new["doc_stats"], "chunk=0"),
+            "doc_id long, weight double, doc_len long, n_terms long",
+        )
+
+        # postings -> one chunk, same fused bucket-major exchange as the
+        # build; keys are unique across chunks so the merge worker just
+        # sorts and passes rows through into few term-sorted files
+        sub_slots = max(1, (4 * self.write_partitions) // self.term_buckets)
+        postings = spark.read.parquet(self._t("postings")).drop("chunk")
+        posting_files_before = len(postings.inputFiles())
+        (
+            postings.withColumn(
+                "pid",
+                F.col("bucket") * sub_slots
+                + F.pmod(F.xxhash64("term", "block_id"), F.lit(sub_slots)),
+            )
+            .repartition(self.write_partitions, "pid")
+            .drop("pid")
+            .select(*[f.name for f in postings.schema.fields])
+            .mapInArrow(_merge_sorted_partition, POSTINGS_BUCKETED_SCHEMA)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(self._p(new["postings"], "chunk=0"))
+        )
+        self._ensure_readable(
+            self._p(new["postings"], "chunk=0", "bucket=0"), POSTINGS_SCHEMA
+        )
+
+        # vocab_chunks -> one deduplicated chunk; kgrams/vocab dedup
+        vocab_words = (
+            spark.read.parquet(self._t("vocab_chunks")).select("word").distinct()
+        )
+        vocab_words.write.mode("overwrite").parquet(
+            self._p(new["vocab_chunks"], "chunk=0")
+        )
+        self._ensure_readable(self._p(new["vocab_chunks"], "chunk=0"), "word string")
+        kg = spark.read.parquet(self._t("kgrams")).distinct()
+        kg.repartition(self.write_partitions, "gram").sortWithinPartitions(
+            "gram"
+        ).write.mode("overwrite").parquet(self._p(new["kgrams"]))
+        self._ensure_readable(
+            self._p(new["kgrams"]), "gram string, word string, n_grams int"
+        )
+        vb = spark.read.parquet(self._t("vocab")).distinct()
+        vb.write.mode("overwrite").parquet(self._p(new["vocab"]))
+        self._ensure_readable(self._p(new["vocab"]), "word string, n_grams int")
+
+        # manifest: single consolidated entry (chunk 0, already final)
+        fsio.mkdirs(self.spark, self._p(new["manifest"]))
+        fsio.write_json_atomic(
+            self.spark,
+            self._p(new["manifest"], "chunk_0.json"),
+            {
+                "chunk": 0,
+                "base": 0,
+                "n_docs": meta["num_docs"],
+                "compacted_from_chunks": meta["n_chunks"],
+                "secs": round(time.time() - t0, 2),
+            },
+        )
+
+        # atomic flip, then GC the old generation
+        new_meta = dict(meta)
+        new_meta.update(
+            {"tables": new, "n_chunks": 1, "compactions": gen}
+        )
+        self.tables = new
+        self._write_meta(new_meta)
+        for logical, name in old_tables.items():
+            if name != new[logical]:
+                fsio.delete(self.spark, self._p(name))
+        return {
+            "generation": gen,
+            "vacuumed_docs": n_docs_before - meta["num_docs"],
+            "num_docs": meta["num_docs"],
+            "posting_files_before": posting_files_before,
+            "posting_files_after": len(
+                spark.read.parquet(self._p(new["postings"])).inputFiles()
+            ),
+            "secs": round(time.time() - t0, 2),
         }
 
     # -- internals -------------------------------------------------------------
@@ -675,9 +840,9 @@ class IndexBuilder:
             F.col("doc_len").cast("long").alias("doc_len"),
             F.size("terms").cast("long").alias("n_terms"),
         )
-        stats.write.mode("overwrite").parquet(self._p("doc_stats", f"chunk={chunk}"))
+        stats.write.mode("overwrite").parquet(self._t("doc_stats", f"chunk={chunk}"))
         self._ensure_readable(
-            self._p("doc_stats", f"chunk={chunk}"),
+            self._t("doc_stats", f"chunk={chunk}"),
             "doc_id long, weight double, doc_len long, n_terms long",
         )
         t2 = time.time()
@@ -714,26 +879,26 @@ class IndexBuilder:
             .mapInArrow(_merge_sorted_partition, POSTINGS_BUCKETED_SCHEMA)
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(self._p("postings", f"chunk={chunk}"))
+            .parquet(self._t("postings", f"chunk={chunk}"))
         )
         # filler goes under a bucket= dir so partition discovery keeps a
         # consistent directory depth next to non-empty chunks
         self._ensure_readable(
-            self._p("postings", f"chunk={chunk}", "bucket=0"), POSTINGS_SCHEMA
+            self._t("postings", f"chunk={chunk}", "bucket=0"), POSTINGS_SCHEMA
         )
         t3 = time.time()
 
         # unstemmed vocabulary for the k-gram index (reference adds the
         # specials-stripped word BEFORE stemming, memoryindex.py:32-33)
         vocab = analyzed.select(F.explode("words").alias("word")).distinct()
-        vocab.write.mode("overwrite").parquet(self._p("vocab_chunks", f"chunk={chunk}"))
+        vocab.write.mode("overwrite").parquet(self._t("vocab_chunks", f"chunk={chunk}"))
         self._ensure_readable(
-            self._p("vocab_chunks", f"chunk={chunk}"), "word string"
+            self._t("vocab_chunks", f"chunk={chunk}"), "word string"
         )
         t4 = time.time()
         analyzed.unpersist()
 
-        agg = self.spark.read.parquet(self._p("postings", f"chunk={chunk}")).agg(
+        agg = self.spark.read.parquet(self._t("postings", f"chunk={chunk}")).agg(
             F.count("*").alias("rows"),
             F.coalesce(
                 F.sum(F.length("postings_bin") + F.length("positions_bin")), F.lit(0)
@@ -784,11 +949,11 @@ class IndexBuilder:
         # corpus token count for BM25's avgdl — one tiny aggregate over
         # the (already-written) doc_stats table
         total_tokens = int(
-            self.spark.read.parquet(self._p("doc_stats"))
+            self.spark.read.parquet(self._t("doc_stats"))
             .agg(F.coalesce(F.sum("doc_len"), F.lit(0)))
             .first()[0]
         )
-        postings = self.spark.read.parquet(self._p("postings"))
+        postings = self.spark.read.parquet(self._t("postings"))
         terms = postings.groupBy("term").agg(
             F.sum("df_block").cast("long").alias("df"),
             F.sum("sum_tf").cast("long").alias("cf"),
@@ -800,7 +965,7 @@ class IndexBuilder:
         self._write_terms(terms, terms_name, num_docs)
 
         vocab = (
-            self.spark.read.parquet(self._p("vocab_chunks"))
+            self.spark.read.parquet(self._t("vocab_chunks"))
             .select("word")
             .distinct()
             .withColumn("grams", kgrams_udf("word"))
@@ -810,14 +975,14 @@ class IndexBuilder:
             F.explode("grams").alias("gram"), "word", "n_grams"
         ).repartition(self.write_partitions, "gram").sortWithinPartitions(
             "gram"
-        ).write.mode("overwrite").parquet(self._p("kgrams"))
+        ).write.mode("overwrite").parquet(self._t("kgrams"))
         self._ensure_readable(
-            self._p("kgrams"), "gram string, word string, n_grams int"
+            self._t("kgrams"), "gram string, word string, n_grams int"
         )
         vocab.select("word", "n_grams").write.mode("overwrite").parquet(
-            self._p("vocab")
+            self._t("vocab")
         )
-        self._ensure_readable(self._p("vocab"), "word string, n_grams int")
+        self._ensure_readable(self._t("vocab"), "word string, n_grams int")
 
         meta = {
             "num_docs": num_docs,
@@ -828,6 +993,8 @@ class IndexBuilder:
             "format_version": FORMAT_VERSION,
             "n_chunks": n_chunks,
             "terms_table": terms_name,
+            "tables": self.tables,
+            "compactions": 0,
         }
         if ingest is not None:
             meta["ingest"] = ingest
@@ -864,11 +1031,11 @@ class IndexBuilder:
         chunk's directories (plus the dictionary tables themselves).
         """
         spark = self.spark
-        delta_stats = spark.read.parquet(self._p("doc_stats", f"chunk={chunk}"))
+        delta_stats = spark.read.parquet(self._t("doc_stats", f"chunk={chunk}"))
         delta_tokens = int(
             delta_stats.agg(F.coalesce(F.sum("doc_len"), F.lit(0))).first()[0]
         )
-        delta_postings = spark.read.parquet(self._p("postings", f"chunk={chunk}"))
+        delta_postings = spark.read.parquet(self._t("postings", f"chunk={chunk}"))
         delta_terms = delta_postings.groupBy("term").agg(
             F.sum("df_block").cast("long").alias("df"),
             F.sum("sum_tf").cast("long").alias("cf"),
@@ -887,11 +1054,11 @@ class IndexBuilder:
         self._write_terms(merged, terms_name, num_docs)
 
         new_vocab = (
-            spark.read.parquet(self._p("vocab_chunks", f"chunk={chunk}"))
+            spark.read.parquet(self._t("vocab_chunks", f"chunk={chunk}"))
             .select("word")
             .distinct()
         )
-        existing = spark.read.parquet(self._p("vocab")).select("word")
+        existing = spark.read.parquet(self._t("vocab")).select("word")
         novel = (
             new_vocab.join(existing, "word", "left_anti")
             .withColumn("grams", kgrams_udf("word"))
@@ -904,10 +1071,10 @@ class IndexBuilder:
             ).repartition(
                 max(1, self._term_parts(num_docs) // 4), "gram"
             ).sortWithinPartitions("gram").write.mode("append").parquet(
-                self._p("kgrams")
+                self._t("kgrams")
             )
             novel.select("word", "n_grams").write.mode("append").parquet(
-                self._p("vocab")
+                self._t("vocab")
             )
         finally:
             novel.unpersist()

@@ -203,10 +203,11 @@ class TranscriptSearchEngine:
         self.total_tokens: int = meta["total_tokens"]
         self.block_span: int = meta["block_span"]
         self.term_buckets: int = meta["term_buckets"]
-        # the dictionary is a versioned snapshot — meta names the
-        # current one (writers flip the pointer atomically; see
-        # IndexBuilder._finalize_incremental)
+        # the dictionary is a versioned snapshot and compaction rotates
+        # the data tables under generation-suffixed names — meta carries
+        # the current pointers (flipped atomically by the writers)
         self._terms_name: str = meta["terms_table"]
+        self._table_names: dict[str, str] = meta.get("tables", {})
 
     def _load(self, name: str) -> DataFrame:
         """Lazily read an index table, right-sized for caching.
@@ -221,7 +222,7 @@ class TranscriptSearchEngine:
         """
         if name in self._tables:
             return self._tables[name]
-        path = fsio.join(self.index_dir, name)
+        path = fsio.join(self.index_dir, self._table_names.get(name, name))
         df = self.spark.read.parquet(path)
         if self.cache and name != "docs":
             limit = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
@@ -309,6 +310,23 @@ class TranscriptSearchEngine:
             block_span=self.block_span,
             term_buckets=self.term_buckets,
         ).append(transcripts)
+        self._refresh()
+        return info
+
+    def compact(self) -> dict:
+        """Consolidate chunks / vacuum orphans / dedup dictionaries
+        (:meth:`IndexBuilder.compact`), then refresh this engine."""
+        info = IndexBuilder(
+            self.spark,
+            self.index_dir,
+            block_span=self.block_span,
+            term_buckets=self.term_buckets,
+        ).compact()
+        self._refresh()
+        return info
+
+    def _refresh(self) -> None:
+        """Drop cached tables and re-read meta (after append/compact)."""
         for df in self._tables.values():
             try:
                 df.unpersist()
@@ -318,7 +336,6 @@ class TranscriptSearchEngine:
         self._apply_meta(
             fsio.read_json(self.spark, fsio.join(self.index_dir, "_meta.json"))
         )
-        return info
 
     # ----------------------------------------------------------------- ranked
     def ranked_query_df(self, query: str, k: int = DEFAULT_K) -> DataFrame:
