@@ -6,11 +6,11 @@ engine, ranked retrieval over sf0.001 documents-as-transcripts).
 ``search_engine_spark.contract`` — each Spark plan paired with a
 DuckDB-runnable SQL oracle replicating its exact semantics (md5-derived
 hashing + fixed-precision rounding make outputs bit-comparable). The
-Porter2 engine and seeded-LSH ANN entries get oracles via materialized
-deterministic inputs (stemmed-tf dump / inlined hyperplane+bucket
-literals, see ``contract.py``); only ``ann_ivf_topk`` (Spark-float
-centroid sums are not bit-reproducible outside Spark) and
-``multimodal_features`` remain rows-only.
+Porter2 engine and ANN entries get oracles via materialized
+deterministic inputs (stemmed-tf dump; inlined hyperplane / centroid
+literals re-derived by the same pure-numpy helpers the Spark plans
+use — see ``contract.py``); only ``multimodal_features`` remains
+rows-only (synthetic media UDFs, nothing SQL-comparable).
 """
 
 from __future__ import annotations

@@ -446,6 +446,22 @@ class TranscriptSearchEngine:
         if not occurrences:
             self._last_wand_stats = {"round1_blocks": 0, "round2_blocks": 0}
             return []
+        # adaptive fallback: when the whole index has no more doc-range
+        # blocks than round 1 would select anyway, the upper-bound
+        # aggregation job is pure overhead (it cannot prune a thing) —
+        # score every block directly, which is exactly the exhaustive
+        # plan and therefore trivially rank-identical. The estimate
+        # under-counts blocks on appended indexes (append pads to block
+        # boundaries), which only ever errs toward this exact fallback.
+        n_blocks_est = -(-self.num_docs // self.block_span)
+        if n_blocks_est <= max(k, 32):
+            scored = self._score_block_ids(occurrences, None, scorer, payload_cols)
+            self._last_wand_stats = {
+                "round1_blocks": 0,
+                "round2_blocks": 0,
+                "fallback_exhaustive": True,
+            }
+            return sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
         # total per-term weight for the upper bound (m_t * wqt_t >=
         # per-occurrence accumulation up to float re-association; the
         # slack below absorbs that)
@@ -506,23 +522,26 @@ class TranscriptSearchEngine:
     def _score_block_ids(
         self,
         occurrences: list[tuple[str, int, float]],
-        block_ids: list[int],
+        block_ids: list[int] | None,
         scorer=None,
         payload_cols: tuple[str, ...] = ("postings_bin", "weights_bin"),
     ) -> dict[int, float]:
         """Exact scores for every doc in the given blocks (all query
         terms of those blocks participate — blocks partition the doc
-        space, so each doc's score is complete within its block)."""
+        space, so each doc's score is complete within its block).
+        ``block_ids=None`` scores every block (the exhaustive plan)."""
         if scorer is None:
             scorer = _block_scorer(None)
         wdf = self.spark.createDataFrame(
             occurrences, "term string, qidx int, wqt double"
         )
-        cells = (
-            self._postings_for_terms([t for t, _i, _w in occurrences])
-            .where(F.col("block_id").isin([int(b) for b in block_ids]))
-            .join(F.broadcast(wdf), "term")
-            .select("block_id", "qidx", "wqt", *payload_cols)
+        cells = self._postings_for_terms([t for t, _i, _w in occurrences])
+        if block_ids is not None:
+            cells = cells.where(
+                F.col("block_id").isin([int(b) for b in block_ids])
+            )
+        cells = cells.join(F.broadcast(wdf), "term").select(
+            "block_id", "qidx", "wqt", *payload_cols
         )
         pdf = (
             cells.groupBy("block_id")
@@ -628,7 +647,9 @@ class TranscriptSearchEngine:
         ]
         if not rows:
             return [[] for _ in queries]
-        if pruned:
+        # same adaptive fallback as _wand_topk: selection can't prune
+        # an index whose block count round 1 would fully select
+        if pruned and -(-self.num_docs // self.block_span) > max(k, 32):
             return self._ranked_batch_wand(len(queries), rows, k)
         wdf = self.spark.createDataFrame(
             rows, "query_id int, term string, qidx int, wqt double"

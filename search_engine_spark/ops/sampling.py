@@ -1,0 +1,91 @@
+"""Deterministic, engine-portable sampling for training-data pipelines.
+
+``df.sample()`` is partition-dependent (resampling after a repartition
+or a cluster resize selects different rows), which breaks reproducible
+dataset curation. These operators decide membership from a **content
+hash of the row's key** (:mod:`.hashing`'s md5-derived ``h60``), so a
+sample is
+
+* stable across partitioning, cluster size, and engine (bit-identical
+  DuckDB oracle),
+* consistent across tables: the same key always lands in the same
+  sample, so sampling docs and their embeddings separately yields
+  aligned subsets,
+* monotone in rate: the 1% sample is a subset of the 10% sample
+  (threshold on the same hash), enabling nested scaling-law subsets.
+
+Per-row projection + filter only — no shuffle, fully pushed into the
+scan stage at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops.hashing import h60
+
+# hash buckets for rate resolution: rates are quantized to 1/RESOLUTION
+RESOLUTION = 1_000_000
+
+
+def sample_bucket(key: Column | str, salt: str = "") -> Column:
+    """Uniform bucket in [0, RESOLUTION) from the row key (+ optional
+    salt, for drawing independent samples from the same keys)."""
+    keyed = F.concat_ws("\x1f", F.lit(salt), key)
+    return (h60(keyed) % F.lit(RESOLUTION)).alias("sample_bucket")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash (see module doc)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thresh = int(round(fraction * RESOLUTION))
+    return df.where(
+        sample_bucket(F.col(key_col).cast("string"), salt) < F.lit(thresh)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. rebalance languages or
+    quality tiers in a training mix). ``fractions`` maps stratum value
+    → keep rate; unlisted strata keep ``default_fraction``. Same
+    hash-threshold membership as :func:`deterministic_sample`, so the
+    draw stays consistent across tables and monotone per stratum."""
+    thresh: Column = F.lit(int(round(default_fraction * RESOLUTION)))
+    for value, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {value!r} must be in [0, 1]")
+        thresh = F.when(
+            F.col(strata_col) == F.lit(value),
+            F.lit(int(round(frac * RESOLUTION))),
+        ).otherwise(thresh)
+    return df.where(
+        sample_bucket(F.col(key_col).cast("string"), salt) < thresh
+    )
+
+
+def split_train_holdout(
+    df: DataFrame,
+    holdout_fraction: float = 0.01,
+    key_col: str = "doc_id",
+    salt: str = "holdout",
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint (train, holdout) split by key hash: reproducible and
+    leakage-safe — a key's side never changes as data is re-read,
+    re-partitioned, or appended to."""
+    thresh = int(round(holdout_fraction * RESOLUTION))
+    b = sample_bucket(F.col(key_col).cast("string"), salt)
+    return df.where(b >= F.lit(thresh)), df.where(b < F.lit(thresh))

@@ -267,61 +267,101 @@ def embedding_near_dup_pairs_lsh(
 
 
 # ----------------------------------------------------------------------- IVF
-def ivf_centroids(
-    embeddings: DataFrame,
-    n_centroids: int = 16,
-    n_iters: int = 5,
-    seed: int = DEFAULT_SEED,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> np.ndarray:
-    """Deterministic distributed k-means (fixed iterations, seeded init).
+def train_ivf(ids, vecs, n_centroids: int = 16, n_iters: int = 5,
+              train_sample: int = 4096) -> np.ndarray:
+    """Pure-numpy Lloyd k-means on an md5-ordered sample — the
+    deterministic IVF trainer shared by the Spark plan and the SQL
+    oracle generator (same inputs → bit-identical centroids in any
+    Python process; no engine floats involved).
 
-    Init = seeded sample; each iteration is one Spark aggregation
-    (assign via broadcast centroid literals, groupBy cluster, mean) —
-    centroids stay driver-side (k x dim floats), data never leaves
-    executors. Empty clusters keep their previous centroid.
+    The training set is the first ``train_sample`` rows by
+    ``md5(str(id))`` — a uniform content-keyed draw, reproducible from
+    the raw table by anyone. Init = first ``n_centroids`` sample rows;
+    assignment by centroid-normalized dot (row norm is a constant
+    positive factor per row, so the argmax is the cosine argmax; ties →
+    lower index); empty clusters keep their previous centroid.
     """
-    sample = np.array(
-        [
-            list(r[0])
-            for r in embeddings.select(vec_col)
-            .orderBy(F.md5(F.col(id_col).cast("string")))
-            .limit(n_centroids)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    centroids = sample
+    import hashlib
+
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(str(int(ids[i])).encode()).hexdigest(),
+    )[:train_sample]
+    X = np.array([list(vecs[i]) for i in order], dtype=np.float64)
+    if X.shape[0] < n_centroids:
+        raise ValueError(
+            f"need >= {n_centroids} training vectors, got {X.shape[0]}"
+        )
+    centroids = X[:n_centroids].copy()
     for _ in range(n_iters):
-        assigned = embeddings.select(
-            vec_col, _assign_col(F.col(vec_col), centroids).alias("cluster")
-        )
-        dim = centroids.shape[1]
-        sums = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(F.element_at(vec_col, i + 1).cast("double")).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-            )
-            .collect()
-        )
+        cn = np.linalg.norm(centroids, axis=1)
+        cn[cn == 0] = 1.0
+        assign = np.argmax((X @ centroids.T) / cn, axis=1)
         new = centroids.copy()
-        for row in sums:
-            c = row["cluster"]
-            new[c] = np.array([row[f"s{i}"] for i in range(dim)]) / row["n"]
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
         centroids = new
     return centroids
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    seed: int = DEFAULT_SEED,  # noqa: ARG001 - kept for API compat; the
+    # md5-ordered sample IS the deterministic seed
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 4096,
+) -> np.ndarray:
+    """Deterministic IVF centroids, trained driver-side on a bounded
+    sample (the standard IVF recipe at 10^9+ vectors — train on ~10^4-6
+    sampled rows, assign the full table with one scan).
+
+    The sample is the top ``train_sample`` rows by ``md5(str(id))``: a
+    distributed TakeOrdered (no full collect), stable across
+    partitioning and cluster size, and independently recomputable from
+    the table content — which is what lets ``ann_ivf_topk`` carry a
+    DuckDB oracle (the oracle generator re-derives the same centroids
+    with :func:`train_ivf` and inlines them as literals).
+    """
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(train_sample)
+        .collect()
+    )
+    return train_ivf(
+        [r[0] for r in rows],
+        [list(r[1]) for r in rows],
+        n_centroids,
+        n_iters,
+        train_sample,
+    )
+
+
+def centroid_norms(centroids: np.ndarray) -> list[float]:
+    """Driver-side centroid L2 norms (zero-safe), used as literals in
+    both the Spark assignment expression and the SQL oracle so the two
+    engines compare bit-identical scores."""
+    return [float(n) if n > 0 else 1.0 for n in np.linalg.norm(centroids, axis=1)]
+
+
 def _assign_col(vec_col: Column, centroids: np.ndarray) -> Column:
-    """Index of the nearest centroid (max cosine; ties -> lower index)."""
-    best = F.struct(F.lit(-2.0).alias("cos"), F.lit(-1).alias("idx"))
-    for i, c in enumerate(centroids):
-        cos = cosine_expr(vec_col, _vec_lit(c))
+    """Index of the nearest centroid (max cosine; ties -> lower index).
+
+    Scores are ``dot(v, c_i) / |c_i|`` with ``|c_i|`` a driver-computed
+    literal: the row norm ``|v|`` is a constant positive factor across
+    i, so the argmax equals the cosine argmax — and keeping the only
+    engine-side float work to the one fold-ordered dot product makes
+    the comparison reproducible in the SQL oracle.
+    """
+    norms = centroid_norms(centroids)
+    best = F.struct(F.lit(float("-inf")).alias("cos"), F.lit(-1).alias("idx"))
+    for i, (c, nc) in enumerate(zip(centroids, norms)):
+        cos = dot_expr(vec_col, _vec_lit(c)) / F.lit(nc)
         best = F.when(
             cos > best["cos"],
             F.struct(cos.alias("cos"), F.lit(i).alias("idx")),
@@ -352,10 +392,18 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k scanning only the ``n_probe`` nearest clusters."""
+    cands = assigned.where(
+        F.col("cluster").isin(ivf_probes(centroids, query_vec, n_probe))
+    )
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def ivf_probes(centroids: np.ndarray, query_vec, n_probe: int) -> list[int]:
+    """The ``n_probe`` clusters nearest the query — driver-side numpy,
+    shared verbatim by the SQL oracle generator (stable argsort: ties
+    break on lower cluster id in every process)."""
     q = np.asarray(query_vec, dtype=np.float64)
     sims = (centroids @ q) / (
         np.linalg.norm(centroids, axis=1) * np.linalg.norm(q) + 1e-12
     )
-    probes = [int(i) for i in np.argsort(-sims)[:n_probe]]
-    cands = assigned.where(F.col("cluster").isin(probes))
-    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+    return [int(i) for i in np.argsort(-sims, kind="stable")[:n_probe]]

@@ -14,6 +14,12 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def documents_df(spark):
+    """The sf0.001 documents table (tiny, read once per session)."""
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="session")
 def golden_engine(spark, tmp_path_factory):
     """Engine over the reference's 5-doc golden corpus, built once."""
     from search_engine_spark.engine import TranscriptSearchEngine

@@ -1,0 +1,168 @@
+"""Connected components, dedup grouping, and deterministic sampling."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import sampling
+from search_engine_spark.ops.components import (
+    connected_components,
+    dedup_groups,
+    dedup_keep,
+)
+
+
+def _uf(edges):
+    """Reference union-find components (min-id label)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_components_match_union_find(spark):
+    rng = random.Random(11)
+    for n_nodes, n_edges in [(10, 8), (60, 45), (300, 260)]:
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        want = _uf(edges)
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(edges, "id_a long, id_b long")
+            ).collect()
+        }
+        assert got == want
+
+
+def test_components_chain_and_empty(spark):
+    # worst-case diameter: a path graph must still fully contract
+    chain = [(i, i + 1) for i in range(40)]
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(chain, "id_a long, id_b long")
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(41)}
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+
+
+def test_dedup_groups_and_keep(spark):
+    # docs 0/1/2 near-identical (one cluster), 3/4 identical, 5 unique
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog",
+        "completely different content about spark shuffles here",
+        "completely different content about spark shuffles here",
+        "nothing like anything else in this tiny corpus at all",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup_groups(df, threshold=0.5, n_hashes=8, bands=4).collect()
+    }
+    assert len(rows) == len(texts)  # every doc labeled exactly once
+    assert rows[0]["group_id"] == rows[1]["group_id"] == rows[2]["group_id"] == 0
+    assert rows[3]["group_id"] == rows[4]["group_id"] == 3
+    assert rows[5]["group_id"] == 5 and rows[5]["group_size"] == 1
+    assert [rows[i]["keep"] for i in range(6)] == [
+        True, False, False, True, False, True,
+    ]
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep(df, threshold=0.5, n_hashes=8, bands=4).collect()
+    )
+    assert kept == [0, 3, 5]
+
+
+# ------------------------------------------------------------------ sampling
+def test_sample_partitioning_invariance(spark, documents_df):
+    a = sorted(
+        r["doc_id"]
+        for r in sampling.deterministic_sample(documents_df, 0.2).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.deterministic_sample(
+            documents_df.repartition(13), 0.2
+        ).collect()
+    )
+    assert a == b and 0 < len(a) < documents_df.count()
+
+
+def test_sample_monotone_nesting(spark, documents_df):
+    small = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(documents_df, 0.05).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(documents_df, 0.3).collect()
+    }
+    assert small <= big
+
+
+def test_sample_salt_independence(spark, documents_df):
+    a = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(documents_df, 0.3, salt="a").collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(documents_df, 0.3, salt="b").collect()
+    }
+    assert a != b  # different draws ...
+    n = documents_df.count()
+    assert abs(len(a) - len(b)) < n * 0.2  # ... same approximate rate
+
+
+def test_stratified_rates(spark, documents_df):
+    fracs = {"en": 1.0, "de": 0.0}
+    out = sampling.stratified_sample(documents_df, fracs, "lang").collect()
+    langs = {r["lang"] for r in out}
+    n_en = documents_df.where("lang = 'en'").count()
+    assert "de" not in langs
+    assert sum(1 for r in out if r["lang"] == "en") == n_en
+    assert all(r["lang"] == "en" for r in out)  # default_fraction=0
+
+
+def test_train_holdout_disjoint_and_stable(spark, documents_df):
+    train, hold = sampling.split_train_holdout(documents_df, 0.2)
+    t = {r["doc_id"] for r in train.collect()}
+    h = {r["doc_id"] for r in hold.collect()}
+    assert t.isdisjoint(h)
+    assert len(t) + len(h) == documents_df.count()
+    # append more rows: existing keys never switch sides
+    extra = documents_df.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    t2, h2 = sampling.split_train_holdout(documents_df.union(extra), 0.2)
+    t2_ids = {r["doc_id"] for r in t2.collect()}
+    h2_ids = {r["doc_id"] for r in h2.collect()}
+    assert t == {i for i in t2_ids if i < 1_000_000}
+    assert h == {i for i in h2_ids if i < 1_000_000}
+
+
+def test_sample_plan_has_no_shuffle(spark, documents_df):
+    plan = sampling.deterministic_sample(
+        documents_df, 0.1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure scan+filter at any scale
