@@ -28,7 +28,7 @@ def main() -> None:
     from search_engine_spark import simple
     from search_engine_spark.engine import TranscriptSearchEngine
     from search_engine_spark.fixtures import documents_as_transcripts
-    from search_engine_spark.ops import dedup, similarity, textstats
+    from search_engine_spark.ops import components, dedup, sampling, similarity, textstats
     from search_engine_spark.session import get_spark
 
     spark = get_spark(
@@ -106,6 +106,18 @@ def main() -> None:
     timed(
         "dedup_simhash",
         lambda: dedup.simhash_near_dup_pairs(docs, max_hamming=3).count(),
+    )
+    timed(
+        "dedup_groups",
+        lambda: components.dedup_groups(docs, threshold=0.7)
+        .where("keep")
+        .count(),
+    )
+    timed(
+        "sample_stratified",
+        lambda: sampling.stratified_sample(
+            docs, {"en": 0.1, "de": 0.5, "es": 0.2, "fr": 1.0}, "lang"
+        ).count(),
     )
     qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
     timed("embed_topk", lambda: similarity.cosine_topk(emb, qv, 10).collect())
