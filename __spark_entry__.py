@@ -10,7 +10,9 @@ Porter2 engine and ANN entries get oracles via materialized
 deterministic inputs (stemmed-tf dump; inlined hyperplane / centroid
 literals re-derived by the same pure-numpy helpers the Spark plans
 use — see ``contract.py``); only ``multimodal_features`` remains
-rows-only (synthetic media UDFs, nothing SQL-comparable).
+rows-only (synthetic media UDFs, nothing SQL-comparable). The catalog
+also covers the curation surface: composed pipeline, PII scan/redact,
+benchmark decontamination, dedup groups, deterministic sampling.
 """
 
 from __future__ import annotations

@@ -28,7 +28,15 @@ def main() -> None:
     from search_engine_spark import simple
     from search_engine_spark.engine import TranscriptSearchEngine
     from search_engine_spark.fixtures import documents_as_transcripts
-    from search_engine_spark.ops import components, dedup, sampling, similarity, textstats
+    from search_engine_spark.ops import (
+        components,
+        decontam,
+        dedup,
+        pii,
+        sampling,
+        similarity,
+        textstats,
+    )
     from search_engine_spark.session import get_spark
 
     spark = get_spark(
@@ -118,6 +126,20 @@ def main() -> None:
         lambda: sampling.stratified_sample(
             docs, {"en": 0.1, "de": 0.5, "es": 0.2, "fr": 1.0}, "lang"
         ).count(),
+    )
+    timed(
+        "pii_redact",
+        lambda: pii.redact_pii(docs)
+        .agg(F.sum(F.length("redacted")))
+        .collect(),
+    )
+    timed(
+        "decontam",
+        lambda: decontam.contamination(
+            docs.where("doc_id % 97 != 0"), docs.where("doc_id % 97 = 0")
+        )
+        .where("contaminated")
+        .count(),
     )
     qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
     timed("embed_topk", lambda: similarity.cosine_topk(emb, qv, 10).collect())
