@@ -431,6 +431,33 @@ class IndexBuilder:
                 path
             )
 
+    _SPLIT_CONF = "spark.sql.files.maxPartitionBytes"
+
+    def _set_docs_split_conf(self) -> str | None:
+        """Size docs-scan file splits for ~4 map tasks per core.
+
+        The chunk build's heavy stages (analyzer UDF, posting encoder)
+        are whole-partition Arrow workers over the docs scan; Spark's
+        default split packing yields ~one split per core (``totalBytes /
+        defaultParallelism``), so one straggler task serializes the
+        stage tail — with no spare tasks to steal. Finer splits (floor
+        8 MiB so a split still spans multiple posting blocks and the
+        merge's segments-per-key stays ~1-2) give the scheduler slack
+        without adding any shuffle. Returns the previous conf value for
+        :meth:`_restore_split_conf`."""
+        size = fsio.tree_bytes(self.spark, self._t("docs"))
+        cores = self.spark.sparkContext.defaultParallelism
+        target = max(8 << 20, min(128 << 20, size // max(4 * cores, 1)))
+        old = self.spark.conf.get(self._SPLIT_CONF, None)
+        self.spark.conf.set(self._SPLIT_CONF, str(int(target)))
+        return old
+
+    def _restore_split_conf(self, old: str | None) -> None:
+        if old is None:
+            self.spark.conf.unset(self._SPLIT_CONF)
+        else:
+            self.spark.conf.set(self._SPLIT_CONF, old)
+
     # -- public API ------------------------------------------------------------
     def build(
         self,
@@ -474,43 +501,48 @@ class IndexBuilder:
             self._ensure_readable(self._t("docs"), docs.schema)
             if parted is not None:
                 parted.unpersist()
-        docs = self.spark.read.parquet(self._t("docs"))
-        if num_docs is None:
-            num_docs = docs.count()
-        phases["doc_ids"] = time.time() - t0
+        old_split = self._set_docs_split_conf()
+        try:
+            docs = self.spark.read.parquet(self._t("docs"))
+            if num_docs is None:
+                num_docs = docs.count()
+            phases["doc_ids"] = time.time() - t0
 
-        chunk_docs = chunk_docs or max(num_docs, 1)
-        # Align chunk boundaries to whole posting blocks: chunks are
-        # doc-id ranges and postings are keyed by (term, block_id), so a
-        # boundary inside a block would make two chunks emit rows for
-        # the SAME (term, block_id) — readers assume that key is unique
-        # (set ops and WAND metadata would silently drop/double-count).
-        chunk_docs = math.ceil(chunk_docs / self.block_span) * self.block_span
-        n_chunks = math.ceil(num_docs / chunk_docs) if num_docs else 1
-        if n_chunks > 1:
-            # multi-chunk builds rescan the corpus per chunk; pin it.
-            # (single-chunk builds read it exactly once — caching would
-            # only add serialization cost)
-            docs.persist(StorageLevel.MEMORY_AND_DISK)
-        chunk_metrics = []
-        for chunk in range(n_chunks):
-            lo, hi = chunk * chunk_docs, (chunk + 1) * chunk_docs
-            manifest_path = self._t("manifest", f"chunk_{chunk}.json")
-            if resume and fsio.exists(self.spark, manifest_path):
-                chunk_metrics.append(fsio.read_json(self.spark, manifest_path))
-                continue
-            metrics = self._build_chunk(
-                docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), chunk
-            )
-            metrics["base"] = lo
-            fsio.write_json_atomic(self.spark, manifest_path, metrics)
-            chunk_metrics.append(metrics)
+            chunk_docs = chunk_docs or max(num_docs, 1)
+            # Align chunk boundaries to whole posting blocks: chunks are
+            # doc-id ranges and postings are keyed by (term, block_id), so a
+            # boundary inside a block would make two chunks emit rows for
+            # the SAME (term, block_id) — readers assume that key is unique
+            # (set ops and WAND metadata would silently drop/double-count).
+            chunk_docs = math.ceil(chunk_docs / self.block_span) * self.block_span
+            n_chunks = math.ceil(num_docs / chunk_docs) if num_docs else 1
+            if n_chunks > 1:
+                # multi-chunk builds rescan the corpus per chunk; pin it.
+                # (single-chunk builds read it exactly once — caching would
+                # only add serialization cost)
+                docs.persist(StorageLevel.MEMORY_AND_DISK)
+            chunk_metrics = []
+            for chunk in range(n_chunks):
+                lo, hi = chunk * chunk_docs, (chunk + 1) * chunk_docs
+                manifest_path = self._t("manifest", f"chunk_{chunk}.json")
+                if resume and fsio.exists(self.spark, manifest_path):
+                    chunk_metrics.append(fsio.read_json(self.spark, manifest_path))
+                    continue
+                metrics = self._build_chunk(
+                    docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+                    chunk,
+                )
+                metrics["base"] = lo
+                fsio.write_json_atomic(self.spark, manifest_path, metrics)
+                chunk_metrics.append(metrics)
 
-        t_fin = time.time()
-        self._finalize(num_docs, n_chunks=n_chunks, ingest=ingest)
-        phases["finalize"] = time.time() - t_fin
-        if n_chunks > 1:
-            docs.unpersist()
+            t_fin = time.time()
+            self._finalize(num_docs, n_chunks=n_chunks, ingest=ingest)
+            phases["finalize"] = time.time() - t_fin
+            if n_chunks > 1:
+                docs.unpersist()
+        finally:
+            self._restore_split_conf(old_split)
         wall = time.time() - t0
         totals = {
             "phases": phases,
@@ -652,10 +684,14 @@ class IndexBuilder:
         if parted is not None:
             parted.unpersist()
         chunk = meta["n_chunks"]
-        docs = self.spark.read.parquet(self._t("docs")).where(
-            F.col("doc_id") >= base
-        )
-        metrics = self._build_chunk(docs, chunk)
+        old_split = self._set_docs_split_conf()
+        try:
+            docs = self.spark.read.parquet(self._t("docs")).where(
+                F.col("doc_id") >= base
+            )
+            metrics = self._build_chunk(docs, chunk)
+        finally:
+            self._restore_split_conf(old_split)
         metrics.update({"base": base, "n_docs": n_new})
         if ingest is not None:
             metrics["ingest"] = ingest

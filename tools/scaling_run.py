@@ -45,6 +45,7 @@ def run_one(cores: int, input_path: str) -> dict:
     from search_engine_spark.session import get_spark
 
     probe = cpu_probe()
+    t_leg0 = time.time()
 
     spark = get_spark(
         app_name=f"scaling-{cores}",
@@ -80,12 +81,27 @@ def run_one(cores: int, input_path: str) -> dict:
     boolean = {q: eng.boolean_query(q) for q in QUERIES_BOOL}
     query_secs = time.time() - t0
 
+    # per-phase attribution (tf/postings/vocab) from the build's own
+    # metrics — lets a reviewer see WHICH phase failed to scale instead
+    # of guessing from end-to-end wall time
+    try:
+        with open(os.path.join(index_dir, "build_metrics.json")) as f:
+            phases = json.load(f).get("chunks", [{}])[0].get("phases", {})
+    except Exception:
+        phases = {}
+
     return {
         "cores": cores,
         "n_turns": n_turns,
         "cpu_probe_secs": probe,
+        # a second probe AFTER the work brackets the leg: shared-VM
+        # throttling that arrives mid-leg (the failure mode a single
+        # pre-probe misses) shows up here
+        "cpu_probe_post_secs": cpu_probe(),
+        "leg_wall_secs": round(time.time() - t_leg0, 2),
         "warmup_build_secs": round(warmup_secs, 2),
         "build_secs": round(build_secs, 2),
+        "build_phases": phases,
         "build_turns_per_sec": round(n_turns / build_secs, 2),
         "query_batch_secs": round(query_secs, 2),
         "ranked_results": {
@@ -120,33 +136,68 @@ def orchestrate(turns: int, cores_lo: int, cores_hi: int, repeats: int) -> None:
         )
         return json.loads(out.stdout.strip().splitlines()[-1])
 
+    # a pair is HEALTHY when all four bracketing probes (pre+post of
+    # both legs) stay under the throttle threshold — the VM is known to
+    # be intermittently CPU-stolen by neighbors, and a throttle window
+    # landing inside one leg fabricates arbitrary efficiency numbers in
+    # either direction. Keep sampling (up to `repeats` pairs) until
+    # `need_healthy` clean pairs exist; the headline is the median over
+    # clean pairs (all pairs, flagged, if the VM never calms down).
+    probe_ok = float(os.environ.get("SCALING_PROBE_OK", "3.0"))
+    need_healthy = int(os.environ.get("SCALING_HEALTHY_PAIRS", "1"))
+
+    def healthy(pair) -> bool:
+        return all(
+            leg[k] <= probe_ok
+            for leg in (pair["lo"], pair["hi"])
+            for k in ("cpu_probe_secs", "cpu_probe_post_secs")
+        )
+
     pairs = []
     for r in range(repeats):
+        pre = cpu_probe()
+        if pre > probe_ok:
+            print(f"# repeat {r}: skipped, VM throttled (probe {pre}s)",
+                  file=sys.stderr)
+            time.sleep(60)
+            continue
         lo, hi = one(cores_lo), one(cores_hi)
         eff = (lo["build_secs"] / hi["build_secs"]) / (cores_hi / cores_lo)
         pairs.append({"repeat": r, "lo": lo, "hi": hi,
                       "efficiency": round(eff, 3)})
         print(f"# repeat {r}: {cores_lo}c {lo['build_secs']}s "
-              f"(probe {lo['cpu_probe_secs']}s), "
+              f"(probes {lo['cpu_probe_secs']}/{lo['cpu_probe_post_secs']}s), "
               f"{cores_hi}c {hi['build_secs']}s "
-              f"(probe {hi['cpu_probe_secs']}s), eff {eff:.3f}",
+              f"(probes {hi['cpu_probe_secs']}/{hi['cpu_probe_post_secs']}s), "
+              f"eff {eff:.3f} healthy={healthy(pairs[-1])}",
               file=sys.stderr)
+        if sum(healthy(p) for p in pairs) >= need_healthy:
+            break
 
-    effs = [p["efficiency"] for p in pairs]
-    lo0, hi0 = pairs[0]["lo"], pairs[0]["hi"]
+    if not pairs:
+        print("# no pairs ran (VM throttled throughout)", file=sys.stderr)
+        return
+    clean = [p for p in pairs if healthy(p)]
+    effs = [p["efficiency"] for p in (clean or pairs)]
+    lo0 = pairs[0]["lo"]
     summary = {
         "n_turns": lo0["n_turns"],
         "cores": [cores_lo, cores_hi],
-        "repeats": repeats,
+        "repeats": len(pairs),
+        "healthy_pairs": len(clean),
+        "probe_threshold_secs": probe_ok,
         "build_secs_lo": [p["lo"]["build_secs"] for p in pairs],
         "build_secs_hi": [p["hi"]["build_secs"] for p in pairs],
         "build_turns_per_sec_best_hi": max(
             p["hi"]["build_turns_per_sec"] for p in pairs
         ),
         "cpu_probe_secs": [
-            [p["lo"]["cpu_probe_secs"], p["hi"]["cpu_probe_secs"]] for p in pairs
+            [p["lo"]["cpu_probe_secs"], p["lo"]["cpu_probe_post_secs"],
+             p["hi"]["cpu_probe_secs"], p["hi"]["cpu_probe_post_secs"]]
+            for p in pairs
         ],
         "efficiencies": effs,
+        "efficiency_over": "healthy pairs" if clean else "ALL pairs (none healthy)",
         "scaling_efficiency_median": round(statistics.median(effs), 3),
         "scaling_efficiency_min": min(effs),
         "scaling_efficiency_max": max(effs),
