@@ -66,11 +66,24 @@ def run_one(cores: int, input_path: str) -> dict:
     )
     warmup_secs = time.time() - t0
     shutil.rmtree(index_dir, ignore_errors=True)
+    # gate the MEASURED build on a healthy probe: the neighbor-steal
+    # windows on this VM last minutes; waiting here shrinks the
+    # throttle-exposed section of the leg to the measured build itself
+    probe_ok = float(os.environ.get("SCALING_PROBE_OK", "3.0"))
+    mid = cpu_probe()
+    for _ in range(int(os.environ.get("SCALING_MID_WAITS", "10"))):
+        if mid <= probe_ok:
+            break
+        time.sleep(60)
+        mid = cpu_probe()
     t0 = time.time()
     eng = TranscriptSearchEngine.build(
         spark, transcripts, index_dir, write_partitions=cores
     )
     build_secs = time.time() - t0
+    # post-probe immediately after the measured build (before queries):
+    # [mid, post] brackets exactly the timing the efficiency uses
+    post = cpu_probe()
 
     # steady-state query batch (caches + workers warmed first;
     # doc_stats deliberately untouched — no query path reads it)
@@ -94,10 +107,11 @@ def run_one(cores: int, input_path: str) -> dict:
         "cores": cores,
         "n_turns": n_turns,
         "cpu_probe_secs": probe,
-        # a second probe AFTER the work brackets the leg: shared-VM
-        # throttling that arrives mid-leg (the failure mode a single
-        # pre-probe misses) shows up here
-        "cpu_probe_post_secs": cpu_probe(),
+        # probe right before the measured build (post-gate) and AFTER
+        # the queries: shared-VM throttling that arrives mid-leg (the
+        # failure mode a single pre-probe misses) shows up here
+        "cpu_probe_mid_secs": mid,
+        "cpu_probe_post_secs": post,
         "leg_wall_secs": round(time.time() - t_leg0, 2),
         "warmup_build_secs": round(warmup_secs, 2),
         "build_secs": round(build_secs, 2),
@@ -150,25 +164,35 @@ def orchestrate(turns: int, cores_lo: int, cores_hi: int, repeats: int) -> None:
         return all(
             leg[k] <= probe_ok
             for leg in (pair["lo"], pair["hi"])
-            for k in ("cpu_probe_secs", "cpu_probe_post_secs")
+            for k in ("cpu_probe_mid_secs", "cpu_probe_post_secs")
         )
 
     pairs = []
-    for r in range(repeats):
+    # skips don't consume the repeat budget — a long steal window would
+    # otherwise eat every repeat in 60 s sleeps; the wall cap bounds the
+    # total wait instead
+    deadline = time.time() + float(
+        os.environ.get("SCALING_WALL_CAP_SECS", str(4 * 3600))
+    )
+    r = 0
+    while r < repeats and time.time() < deadline:
         pre = cpu_probe()
         if pre > probe_ok:
-            print(f"# repeat {r}: skipped, VM throttled (probe {pre}s)",
-                  file=sys.stderr)
+            print(f"# waiting: VM throttled (probe {pre}s)", file=sys.stderr)
             time.sleep(60)
             continue
-        lo, hi = one(cores_lo), one(cores_hi)
+        r += 1
+        # hi (short) leg first: the steal windows on this VM last
+        # minutes, so the leg least able to hide them runs while the
+        # pre-probe verdict is freshest
+        hi, lo = one(cores_hi), one(cores_lo)
         eff = (lo["build_secs"] / hi["build_secs"]) / (cores_hi / cores_lo)
         pairs.append({"repeat": r, "lo": lo, "hi": hi,
                       "efficiency": round(eff, 3)})
         print(f"# repeat {r}: {cores_lo}c {lo['build_secs']}s "
-              f"(probes {lo['cpu_probe_secs']}/{lo['cpu_probe_post_secs']}s), "
+              f"(probes {lo['cpu_probe_mid_secs']}/{lo['cpu_probe_post_secs']}s), "
               f"{cores_hi}c {hi['build_secs']}s "
-              f"(probes {hi['cpu_probe_secs']}/{hi['cpu_probe_post_secs']}s), "
+              f"(probes {hi['cpu_probe_mid_secs']}/{hi['cpu_probe_post_secs']}s), "
               f"eff {eff:.3f} healthy={healthy(pairs[-1])}",
               file=sys.stderr)
         if sum(healthy(p) for p in pairs) >= need_healthy:
@@ -192,8 +216,8 @@ def orchestrate(turns: int, cores_lo: int, cores_hi: int, repeats: int) -> None:
             p["hi"]["build_turns_per_sec"] for p in pairs
         ),
         "cpu_probe_secs": [
-            [p["lo"]["cpu_probe_secs"], p["lo"]["cpu_probe_post_secs"],
-             p["hi"]["cpu_probe_secs"], p["hi"]["cpu_probe_post_secs"]]
+            [p["lo"]["cpu_probe_mid_secs"], p["lo"]["cpu_probe_post_secs"],
+             p["hi"]["cpu_probe_mid_secs"], p["hi"]["cpu_probe_post_secs"]]
             for p in pairs
         ],
         "efficiencies": effs,
