@@ -27,6 +27,12 @@ class SearchService:
     # (searchengine.py:52-57), which a 10^9-term index cannot do; the
     # cap keeps the endpoint shape without a driver-side full collect.
     MAX_TERMS_INLINE = 100_000
+    # /query returns turn metadata/text for at most this many matched
+    # docs — a stopword boolean query matches most of the corpus, and
+    # collecting its text would ship the corpus to the driver.
+    # ``doc_ids`` stays complete; only the inline ``contents`` page is
+    # capped (mirrors MAX_TERMS_INLINE for vocab).
+    MAX_CONTENTS_INLINE = 1_000
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -67,15 +73,19 @@ class SearchService:
     def query(self, query: str, ranked: bool = False) -> dict:
         """Dispatch ranked vs boolean; returns doc ids, per-doc turn
         metadata, scores, and the spelling suggestion
-        (``searchengine.py:72-108``)."""
+        (``searchengine.py:72-108``). ``doc_ids`` is complete;
+        ``contents`` inlines text for at most ``MAX_CONTENTS_INLINE``
+        of them (boolean stopword queries match most of the corpus —
+        the full text never ships to the driver)."""
         assert self.engine is not None, "call buildindex first"
         results = self.engine.query(query, ranked_flag=ranked)
         doc_ids = [r[0] for r in results] if ranked else list(results)
         scores = [r[1] for r in results] if ranked else []
         meta = {}
         if doc_ids:
+            page = doc_ids[: self.MAX_CONTENTS_INLINE]
             rows = (
-                self.engine.docs.where(self.engine.docs.doc_id.isin(doc_ids))
+                self.engine.docs.where(self.engine.docs.doc_id.isin(page))
                 .select("doc_id", "conv_id", "turn_idx", "text")
                 .collect()
             )

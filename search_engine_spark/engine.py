@@ -182,10 +182,24 @@ def _block_phrase(n_slots: int, block_span: int):
 
 
 class TranscriptSearchEngine:
-    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
+    #: default byte ceiling above which a table is never persisted —
+    #: big enough for every dictionary/kgram table we build locally,
+    #: far below any real postings table.
+    CACHE_MAX_BYTES = 256 << 20
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        cache: bool = True,
+        cache_max_bytes: int | None = None,
+    ):
         self.spark = spark
         self.index_dir = index_dir
         self.cache = cache
+        self.cache_max_bytes = (
+            self.CACHE_MAX_BYTES if cache_max_bytes is None else cache_max_bytes
+        )
         meta = fsio.read_json(spark, fsio.join(index_dir, "_meta.json"))
         from search_engine_spark.build import FORMAT_VERSION
 
@@ -210,31 +224,43 @@ class TranscriptSearchEngine:
         self._table_names: dict[str, str] = meta.get("tables", {})
 
     def _load(self, name: str) -> DataFrame:
-        """Lazily read an index table, right-sized for caching.
+        """Lazily read an index table, size-gated for caching.
 
         Tables load on FIRST USE, not at engine open: a ranked/boolean
         session never touches kgrams or doc_stats, so it never pays
-        their scan or cache memory. Cached partition count scales with
-        on-disk bytes (1 per 32 MB, capped at shuffle.partitions): a
-        small index collapses to a handful of cached partitions so
-        query stages schedule a handful of tasks, while a 100 TB index
-        keeps full parallelism.
+        their scan or cache memory. Caching is gated on on-disk bytes
+        (``cache_max_bytes``): small dictionaries/kgram tables persist
+        (coalesced to 1 partition per 32 MB so query stages schedule a
+        handful of tasks), while anything larger — above all
+        ``postings`` — is returned as the raw Parquet relation so the
+        bucket/term predicates keep reaching the scan as
+        PartitionFilters/PushedFilters. A persisted-but-cold
+        InMemoryRelation would not push those predicates, so caching a
+        100 TB postings table would turn the first query into a
+        full-index read; the gate keeps the default config at
+        O(query terms) I/O, matching the reference's query-restricted
+        load (``diskindex.py:59-80``).
         """
         if name in self._tables:
             return self._tables[name]
         path = fsio.join(self.index_dir, self._table_names.get(name, name))
         df = self.spark.read.parquet(path)
-        if self.cache and name != "docs":
-            limit = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        # postings and docs NEVER persist: queries touch O(query terms)
+        # of postings via storage pruning and O(k) of docs — caching
+        # either would cost an O(index) scan to fill and lose pushdown.
+        if self.cache and name not in ("docs", "postings"):
             nbytes = fsio.tree_bytes(self.spark, path)
-            parts = max(1, min(limit, nbytes // (32 << 20) + 1))
-            df = df.coalesce(int(parts))
-            # evict any stale cache entry for the same plan: Spark's
-            # CacheManager matches by canonicalized plan (i.e. by PATH),
-            # so an engine opened after rebuilding an index at the same
-            # path would otherwise be served the PREVIOUS index's rows
-            df.unpersist(blocking=False)
-            df.persist(StorageLevel.MEMORY_AND_DISK)
+            if nbytes <= self.cache_max_bytes:
+                limit = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+                parts = max(1, min(limit, nbytes // (32 << 20) + 1))
+                df = df.coalesce(int(parts))
+                # evict any stale cache entry for the same plan: Spark's
+                # CacheManager matches by canonicalized plan (i.e. by
+                # PATH), so an engine opened after rebuilding an index at
+                # the same path would otherwise be served the PREVIOUS
+                # index's rows
+                df.unpersist(blocking=False)
+                df.persist(StorageLevel.MEMORY_AND_DISK)
         self._tables[name] = df
         return df
 

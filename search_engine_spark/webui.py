@@ -21,9 +21,11 @@ document filename.
 
 The server is a thin driver-side veneer: every endpoint delegates to
 :class:`search_engine_spark.api.SearchService`, whose responses are
-built from pruned scans (capped vocab page, isin-pushed metadata
-lookup) — nothing here collects unbounded data to the driver, so the
-same code fronts a 10^12-turn cluster index.
+built from pruned, CAPPED scans (``MAX_TERMS_INLINE`` vocab page,
+``MAX_CONTENTS_INLINE`` metadata page over an isin-pushed lookup) —
+nothing here collects unbounded data to the driver, so the same code
+fronts a 10^12-turn cluster index: a stopword boolean query returns
+its full ``doc_ids`` but inlines text for only the first page.
 """
 
 from __future__ import annotations
@@ -235,10 +237,10 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(status)
         self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(body)))
-        # the reference serves index.html from file:// against a Flask
-        # origin; same-origin here, but keep the permissive header so
-        # that flow still works
-        self.send_header("Access-Control-Allow-Origin", "*")
+        # no CORS header: the page is served same-origin by this
+        # server, and a permissive header would let any web page
+        # drive POST /buildindex (arbitrary parquet path -> Spark
+        # jobs) cross-origin against localhost
         self.end_headers()
         self.wfile.write(body)
 

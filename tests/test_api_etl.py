@@ -38,6 +38,17 @@ def test_query_ranked(service):
     assert len(out["scores"]) == len(out["doc_ids"])
 
 
+def test_query_contents_capped(service, monkeypatch):
+    """A broad boolean query returns its COMPLETE doc_ids but inlines
+    text for at most MAX_CONTENTS_INLINE of them — the driver never
+    collects corpus-sized text (stopword-query funnel, r03 judge #2)."""
+    monkeypatch.setattr(SearchService, "MAX_CONTENTS_INLINE", 2)
+    out = service.query("test + document + one", ranked=False)
+    assert len(out["doc_ids"]) > 2  # ids stay complete
+    assert len(out["contents"]) == 2  # text page is bounded
+    assert set(out["contents"]) == set(out["doc_ids"][:2])
+
+
 def test_query_spell_corrected(service):
     out = service.query("tesst", ranked=True)
     assert out["spell_corrected"] == "test"

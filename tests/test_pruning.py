@@ -21,12 +21,14 @@ from search_engine_spark.fixtures import synthetic_transcripts
 
 @pytest.fixture(scope="module")
 def cold_engine(spark, tmp_path_factory):
-    """Uncached engine over a multi-file index (cache=False so plans
-    show the Parquet scan, not InMemoryTableScan)."""
+    """DEFAULT-constructed engine over a multi-file index. Since the
+    cache size gate, the default config never persists postings, so
+    postings plans show the Parquet scan (PartitionFilters +
+    PushedFilters), not InMemoryTableScan — these tests pin that."""
     idx = str(tmp_path_factory.mktemp("pruning") / "idx")
     df = synthetic_transcripts(spark, n_convs=40, turns_per_conv=5)
     IndexBuilder(spark, idx, block_span=16).build(df)
-    return TranscriptSearchEngine(spark, idx, cache=False)
+    return TranscriptSearchEngine(spark, idx)
 
 
 def _formatted_plan(spark, df) -> str:
@@ -67,13 +69,31 @@ def test_every_query_class_scans_pruned(spark, cold_engine):
 
 
 def test_kgram_scan_prunes_grams(spark, cold_engine):
-    eng = cold_engine
+    # kgrams is a small dictionary, so the default engine rightly
+    # persists it; assert the storage-level pruning on an uncached view
+    eng = TranscriptSearchEngine(spark, cold_engine.index_dir, cache=False)
     grams_df = eng.kgrams.where(F.col("gram").isin(["$te", "tes", "est"]))
     plan = _formatted_plan(spark, grams_df)
     assert "In(gram" in plan
     # and the public entry points still answer correctly through it
-    assert "test" in eng.wildcard_expand("te*t")
-    assert eng.find_spelling_candidates("tst", 0.3)
+    assert "test" in cold_engine.wildcard_expand("te*t")
+    assert cold_engine.find_spelling_candidates("tst", 0.3)
+
+
+def test_cache_size_gate(spark, cold_engine):
+    """The default config persists small dictionaries but NEVER
+    postings (whatever its size), and a zero byte-threshold disables
+    persistence entirely — the gate that keeps a 100 TB index at
+    O(query terms) I/O on the first query."""
+    eng = cold_engine
+    eng.terms.count()  # touch so _load has run
+    assert eng._tables[eng._terms_name].storageLevel.useMemory
+    assert not eng.postings.storageLevel.useMemory
+    assert not eng.docs.storageLevel.useMemory
+
+    gated = TranscriptSearchEngine(spark, eng.index_dir, cache_max_bytes=0)
+    gated.terms.count()
+    assert not gated._tables[gated._terms_name].storageLevel.useMemory
 
 
 def test_term_bucket_python_matches_spark(spark):
