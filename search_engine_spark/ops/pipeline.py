@@ -1,5 +1,9 @@
 """End-to-end training-data curation: the composed pipeline a
-pre-training corpus actually goes through, as one lazy DataFrame plan.
+pre-training corpus actually goes through, as one DataFrame plan.
+(Construction is not fully lazy: the near-dup stage's connected
+components is an iterative algorithm whose convergence checks run
+jobs; everything else stays declarative, and the survivor cache is a
+lazy, recomputable ``persist``.)
 
     raw docs
       → quality gate        (Gopher/C4-style composite, textstats)
@@ -21,8 +25,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from search_engine_spark.ops import components, dedup, sampling, textstats
+
+
+def gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.75,
+    allowed_langs: list[str] | None = None,
+) -> DataFrame:
+    """Quality + language gate as ONE projection + filter — zero
+    joins, zero shuffles. Both signals are per-row expressions
+    (``textstats.quality_col`` / ``pred_lang_col``), so computing them
+    as separate DataFrames and joining back on ``id_col`` (the r03
+    shape) would add two full-corpus shuffles for nothing; fused, the
+    whole gate codegens into the scan."""
+    out = df.select(
+        id_col,
+        text_col,
+        textstats.pred_lang_col(text_col).alias("pred_lang"),
+        textstats.quality_col(text_col).alias("quality"),
+    ).where(F.col("quality") >= F.lit(min_quality))
+    if allowed_langs is None:
+        return out.where(F.col("pred_lang") != F.lit("und"))
+    return out.where(F.col("pred_lang").isin(list(allowed_langs)))
 
 
 def curate(
@@ -43,22 +72,7 @@ def curate(
     applies a final deterministic stratified sample on the predicted
     language; ``None`` keeps everything.
     """
-    quality = textstats.quality_scores(df, text_col, id_col).select(
-        id_col, "quality"
-    )
-    lang = textstats.language_scores(df, text_col, id_col).select(
-        id_col, "pred_lang"
-    )
-    gated = (
-        df.select(id_col, text_col)
-        .join(quality, id_col)
-        .join(lang, id_col)
-        .where(F.col("quality") >= F.lit(min_quality))
-    )
-    if allowed_langs is None:
-        gated = gated.where(F.col("pred_lang") != F.lit("und"))
-    else:
-        gated = gated.where(F.col("pred_lang").isin(list(allowed_langs)))
+    gated = gate(df, text_col, id_col, min_quality, allowed_langs)
 
     # exact dedup on whitespace-normalized text, keep the smallest id
     fp = F.md5(F.concat_ws(" ", F.split(F.col(text_col), r"\s+")))
@@ -66,8 +80,13 @@ def curate(
     canon = gated.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     exact_kept = gated.join(canon, [id_col, "_fp"], "left_semi").drop("_fp")
     # the survivor set feeds the (expensive) near-dup stage twice
-    # (pair generation + the final semi-join) — materialize it once
-    exact_kept = exact_kept.localCheckpoint()
+    # (pair generation + the final semi-join) — cache it LAZILY with
+    # recomputable lineage (persist, not localCheckpoint: checkpointed
+    # partitions die with their executor, and eager checkpointing ran
+    # Spark jobs at plan-construction time even if the result was
+    # never used). First action fills the cache; executor loss just
+    # recomputes from the scan.
+    exact_kept = exact_kept.persist(StorageLevel.MEMORY_AND_DISK)
 
     near_kept = components.dedup_keep(
         exact_kept,

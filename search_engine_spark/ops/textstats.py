@@ -34,6 +34,27 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.col(text_col), _WS_TOKENS)
 
 
+def _lang_score_col(toks: Column, lang: str) -> Column:
+    wl = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+
+
+def pred_lang_col(text_col: str = "text") -> Column:
+    """Predicted-language COLUMN EXPRESSION (argmax stopword-profile
+    hits, ties alphabetical, 'und' when no profile matched) — usable
+    inline in any projection so pipelines don't need a join to gate on
+    language. ``language_scores`` builds on the same expressions."""
+    toks = _tokens(text_col)
+    best = F.struct(F.lit(-1).alias("s"), F.lit("und").alias("l"))
+    for lang in sorted(LANG_PROFILES):  # alphabetical; strict > keeps first max
+        score = _lang_score_col(toks, lang)
+        best = F.when(
+            score > best["s"],
+            F.struct(score.alias("s"), F.lit(lang).alias("l")),
+        ).otherwise(best)
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
 def language_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -43,25 +64,36 @@ def language_scores(
     prediction = argmax, ties broken alphabetically (deterministic).
     """
     toks = _tokens(text_col)
-    out = df.select(id_col, toks.alias("toks"))
-    for lang, words in LANG_PROFILES.items():
-        wl = F.array(*[F.lit(w) for w in words])
-        out = out.withColumn(
-            f"score_{lang}",
-            F.size(F.filter("toks", lambda t: F.array_contains(wl, t))),
-        )
-    langs = sorted(LANG_PROFILES)
-    best = F.struct(F.lit(-1).alias("s"), F.lit("und").alias("l"))
-    for lang in langs:  # alphabetical; strict > keeps the first max
-        best = F.when(
-            F.col(f"score_{lang}") > best["s"],
-            F.struct(F.col(f"score_{lang}").alias("s"), F.lit(lang).alias("l")),
-        ).otherwise(best)
-    return out.select(
+    return df.select(
         id_col,
-        *[f"score_{lang}" for lang in langs],
-        F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und")).alias("pred_lang"),
+        *[
+            _lang_score_col(toks, lang).alias(f"score_{lang}")
+            for lang in sorted(LANG_PROFILES)
+        ],
+        pred_lang_col(text_col).alias("pred_lang"),
     )
+
+
+def quality_col(text_col: str = "text") -> Column:
+    """Composite quality score (0..1, rounded 6 dp) as a COLUMN
+    EXPRESSION — the same value ``quality_scores`` emits, inlinable in
+    a projection so pipelines don't need a join to gate on quality."""
+    toks = _tokens(text_col)
+    n_words = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    mean_wl = (n_chars - (n_words - 1)) / n_words
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_words
+    alnum_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", "")) / n_chars
+    )
+    word_len_ok = (mean_wl >= 2) & (mean_wl <= 12)
+    quality = (
+        F.when((n_words >= 5) & (n_words <= 10000), 0.25).otherwise(0.0)
+        + F.when(word_len_ok, 0.25).otherwise(0.0)
+        + F.when(distinct_ratio >= 0.1, 0.25).otherwise(0.0)
+        + F.when(alnum_ratio >= 0.6, 0.25).otherwise(0.0)
+    )
+    return F.round(quality, 6)
 
 
 def quality_scores(
@@ -83,13 +115,6 @@ def quality_scores(
     alnum_ratio = (
         F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", "")) / n_chars
     )
-    word_len_ok = (mean_wl >= 2) & (mean_wl <= 12)
-    quality = (
-        F.when((n_words >= 5) & (n_words <= 10000), 0.25).otherwise(0.0)
-        + F.when(word_len_ok, 0.25).otherwise(0.0)
-        + F.when(distinct_ratio >= 0.1, 0.25).otherwise(0.0)
-        + F.when(alnum_ratio >= 0.6, 0.25).otherwise(0.0)
-    )
     return df.select(
         id_col,
         n_chars.alias("n_chars"),
@@ -98,7 +123,7 @@ def quality_scores(
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
         F.round(alnum_ratio, 6).alias("alnum_ratio"),
-        F.round(quality, 6).alias("quality"),
+        quality_col(text_col).alias("quality"),
     )
 
 
