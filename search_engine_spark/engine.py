@@ -45,8 +45,12 @@ def _block_scorer(k: int | None):
     Input rows: one per (query term, this block) with wqt, qidx and the
     encoded postings/weights. Output: (doc_id, score) for the block —
     the block's top-k when ``k`` is set (tie-break doc_id asc, matching
-    ``diskindex.py:98-99``), or every scored doc when ``k`` is None
-    (the WAND exact-scoring path needs full candidate scores).
+    ``diskindex.py:98-99``), or every scored doc when ``k`` is None.
+    Blocks partition the doc space, so a doc's score is COMPLETE within
+    its block and the global top-k is a subset of the union of
+    per-block top-ks — every top-k consumer (exhaustive DataFrame path,
+    WAND scoring rounds) passes ``k`` and ships k rows per block, never
+    the block's full doc range.
     """
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -419,7 +423,7 @@ class TranscriptSearchEngine:
         return self._wand_topk(
             occurrences,
             row_ub=F.col("wqt") * F.col("max_partial"),
-            scorer=_block_scorer(None),
+            scorer_factory=_block_scorer,
             payload_cols=("postings_bin", "weights_bin"),
             k=k,
         )
@@ -453,7 +457,7 @@ class TranscriptSearchEngine:
         return self._wand_topk(
             occurrences,
             row_ub=row_ub,
-            scorer=_block_bm25_scorer(None, k1, b, avgdl),
+            scorer_factory=lambda kk: _block_bm25_scorer(kk, k1, b, avgdl),
             payload_cols=("postings_bin", "doclens_bin"),
             k=k,
         )
@@ -462,16 +466,21 @@ class TranscriptSearchEngine:
         self,
         occurrences: list[tuple[str, int, float]],
         row_ub,
-        scorer,
+        scorer_factory,
         payload_cols: tuple[str, ...],
         k: int,
     ) -> list[tuple[int, float]]:
         """Shared block-max selection (see :meth:`ranked_query_wand`):
         cluster-side upper bounds, two collect-only-survivors rounds,
-        exact scoring of selected blocks with ``scorer``."""
+        exact scoring of selected blocks with ``scorer_factory(k)`` —
+        each selected block ships its top-k rows to the driver (k per
+        block, not the block's up-to-``block_span`` docs; the global
+        top-k and the round-1 threshold both survive per-block
+        truncation because blocks partition the doc space)."""
         if not occurrences:
             self._last_wand_stats = {"round1_blocks": 0, "round2_blocks": 0}
             return []
+        scorer = scorer_factory(k)
         # adaptive fallback: when the whole index has no more doc-range
         # blocks than round 1 would select anyway, the upper-bound
         # aggregation job is pure overhead (it cannot prune a thing) —
@@ -485,6 +494,7 @@ class TranscriptSearchEngine:
             self._last_wand_stats = {
                 "round1_blocks": 0,
                 "round2_blocks": 0,
+                "driver_rows": len(scored),
                 "fallback_exhaustive": True,
             }
             return sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
@@ -516,6 +526,7 @@ class TranscriptSearchEngine:
                 self._last_wand_stats = {"round1_blocks": 0, "round2_blocks": 0}
                 return []
             scored = self._score_block_ids(occurrences, round1, scorer, payload_cols)
+            driver_rows = len(scored)
             top = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
             round2: list[int] = []
             if len(top) == k and len(round1) == n_probe:
@@ -531,17 +542,18 @@ class TranscriptSearchEngine:
                     .collect()
                 ]
                 if round2:
-                    scored.update(
-                        self._score_block_ids(
-                            occurrences, round2, scorer, payload_cols
-                        )
+                    extra = self._score_block_ids(
+                        occurrences, round2, scorer, payload_cols
                     )
+                    driver_rows += len(extra)
+                    scored.update(extra)
                     top = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
         finally:
             meta.unpersist()
         self._last_wand_stats = {
             "round1_blocks": len(round1),
             "round2_blocks": len(round2),
+            "driver_rows": driver_rows,
         }
         return top
 
@@ -552,10 +564,13 @@ class TranscriptSearchEngine:
         scorer=None,
         payload_cols: tuple[str, ...] = ("postings_bin", "weights_bin"),
     ) -> dict[int, float]:
-        """Exact scores for every doc in the given blocks (all query
-        terms of those blocks participate — blocks partition the doc
-        space, so each doc's score is complete within its block).
-        ``block_ids=None`` scores every block (the exhaustive plan)."""
+        """Exact scores for the given blocks (all query terms of those
+        blocks participate — blocks partition the doc space, so each
+        doc's score is complete within its block). The ``scorer``
+        decides how many rows per block reach the driver: the WAND
+        rounds pass a per-block top-k scorer, so driver traffic is
+        O(selected_blocks * k). ``block_ids=None`` scores every block
+        (the exhaustive plan)."""
         if scorer is None:
             scorer = _block_scorer(None)
         wdf = self.spark.createDataFrame(
@@ -760,7 +775,8 @@ class TranscriptSearchEngine:
                 .select("query_id", "block_id")
                 .collect()
             ]
-            scored = self._score_batch_pairs(occ, all_terms, round1)
+            scored = self._score_batch_pairs(occ, all_terms, round1, k)
+            driver_rows = len(scored)
             # running k-th score per query -> round-2 thresholds
             thresholds: list[tuple[int, float]] = []
             per_query_n1: dict[int, int] = {}
@@ -796,9 +812,9 @@ class TranscriptSearchEngine:
                     .collect()
                 ]
                 if round2:
-                    for (qid, doc), s in self._score_batch_pairs(
-                        occ, all_terms, round2
-                    ).items():
+                    extra = self._score_batch_pairs(occ, all_terms, round2, k)
+                    driver_rows += len(extra)
+                    for (qid, doc), s in extra.items():
                         tops.setdefault(qid, []).append((doc, s))
                     for qid, lst in tops.items():
                         lst.sort(key=lambda x: (-x[1], x[0]))
@@ -809,15 +825,22 @@ class TranscriptSearchEngine:
             "total_blocks": total_blocks,
             "round1_pairs": len(round1),
             "round2_pairs": len(round2),
+            "driver_rows": driver_rows,
         }
         return [tops.get(qid, []) for qid in range(n_queries)]
 
     def _score_batch_pairs(
-        self, occ: DataFrame, terms, pairs: list[tuple[int, int]]
+        self,
+        occ: DataFrame,
+        terms,
+        pairs: list[tuple[int, int]],
+        k: int | None = None,
     ) -> dict[tuple[int, int], float]:
         """Exact scores for the given (query_id, block_id) pairs — one
         job; blocks partition the doc space so each doc's score is
-        complete within its pair."""
+        complete within its pair, so with ``k`` set each pair ships its
+        top-k rows (driver traffic O(pairs * k), not pairs *
+        block_span)."""
         if not pairs:
             return {}
         sel = self.spark.createDataFrame(pairs, "query_id int, block_id long")
@@ -832,7 +855,7 @@ class TranscriptSearchEngine:
         pdf = (
             cells.groupBy("query_id", "block_id")
             .applyInPandas(
-                _block_scorer_keyed(None), "query_id int, doc_id long, score double"
+                _block_scorer_keyed(k), "query_id int, doc_id long, score double"
             )
             .toPandas()
         )

@@ -75,3 +75,30 @@ def test_batch_wand_prunes_blocks(fine_engine):
     assert scored_pairs < total_pairs, stats
     for qid, total in stats["total_blocks"].items():
         assert total > 32
+
+
+def test_wand_driver_rows_bounded(fine_engine):
+    """Scoring rounds ship each selected block's TOP-K rows, not the
+    block's whole doc range: driver-received rows <= selected * k
+    (r03 judge #4 — the last driver funnel in the pruned path)."""
+    k = 5
+    for q in ["test here data", "the test data spark index query"]:
+        pruned = fine_engine.ranked_query(q, k=k, pruned=True)
+        exhaustive = fine_engine.ranked_query(q, k=k)
+        assert [d for d, _ in pruned] == [d for d, _ in exhaustive], q
+        stats = fine_engine._last_wand_stats
+        selected = stats["round1_blocks"] + stats["round2_blocks"]
+        assert selected > 0, stats
+        assert stats["driver_rows"] <= selected * k, stats
+
+
+def test_batch_wand_driver_rows_bounded(fine_engine):
+    k = 5
+    queries = ["test here data", "the test data spark index query"]
+    pruned = fine_engine.ranked_query_batch(queries, k=k, pruned=True)
+    plain = fine_engine.ranked_query_batch(queries, k=k)
+    assert pruned == plain
+    stats = fine_engine._last_batch_wand_stats
+    pairs = stats["round1_pairs"] + stats["round2_pairs"]
+    assert pairs > 0, stats
+    assert stats["driver_rows"] <= pairs * k, stats
