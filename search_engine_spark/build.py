@@ -558,7 +558,7 @@ class IndexBuilder:
         return totals
 
     def _read_meta(self) -> dict:
-        meta = fsio.read_json(self.spark, self._p("_meta.json"))
+        meta = fsio.read_json_atomic(self.spark, self._p("_meta.json"))
         self.tables = dict(meta.get("tables", DEFAULT_TABLES))
         if meta.get("format_version") != FORMAT_VERSION:
             raise ValueError(
@@ -971,11 +971,19 @@ class IndexBuilder:
 
     def _write_meta(self, meta: dict) -> None:
         fsio.write_json_atomic(self.spark, self._p("_meta.json"), meta)
-        # GC superseded terms snapshots (best-effort, post-commit)
+        # GC superseded terms snapshots (best-effort, post-commit) with
+        # ONE generation of grace: a reader that opened the index
+        # before this flip still holds lazy plans over the previous
+        # snapshot — deleting it would fail that reader mid-query, so
+        # the newest superseded snapshot survives until the NEXT flip.
         current = meta["terms_table"]
-        for name in fsio.listdir(self.spark, self.index_dir):
-            if name.startswith("terms_v") and name != current:
-                fsio.delete(self.spark, self._p(name))
+        stale = sorted(
+            name
+            for name in fsio.listdir(self.spark, self.index_dir)
+            if name.startswith("terms_v") and name != current
+        )
+        for name in stale[:-1]:
+            fsio.delete(self.spark, self._p(name))
 
     def _finalize(
         self, num_docs: int, n_chunks: int = 1, ingest: dict | None = None

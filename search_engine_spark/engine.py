@@ -204,7 +204,7 @@ class TranscriptSearchEngine:
         self.cache_max_bytes = (
             self.CACHE_MAX_BYTES if cache_max_bytes is None else cache_max_bytes
         )
-        meta = fsio.read_json(spark, fsio.join(index_dir, "_meta.json"))
+        meta = fsio.read_json_atomic(spark, fsio.join(index_dir, "_meta.json"))
         from search_engine_spark.build import FORMAT_VERSION
 
         if meta.get("format_version") != FORMAT_VERSION:
@@ -364,7 +364,7 @@ class TranscriptSearchEngine:
                 pass
         self._tables.clear()
         self._apply_meta(
-            fsio.read_json(self.spark, fsio.join(self.index_dir, "_meta.json"))
+            fsio.read_json_atomic(self.spark, fsio.join(self.index_dir, "_meta.json"))
         )
 
     # ----------------------------------------------------------------- ranked

@@ -82,7 +82,18 @@ def read_text(spark, path: str) -> str:
 
 
 def write_text_atomic(spark, path: str, text: str) -> None:
-    """Write-then-rename commit (see module docstring for semantics)."""
+    """Write-then-rename commit (see module docstring for semantics).
+
+    Hadoop's ``FileSystem.rename`` won't overwrite, so updating an
+    existing file is delete-then-rename — NOT a single atomic step. The
+    crash window is closed by ordering, not by the rename: the ``.tmp``
+    file is COMPLETE (written and closed) before the destination is
+    deleted, so at every instant at least one complete copy exists —
+    the destination (before the delete) or ``.tmp`` (after it).
+    :func:`read_text_atomic` encodes that invariant on the read side;
+    a ``.tmp`` left by a crash mid-write is never preferred because the
+    destination still exists in that case.
+    """
     fs, p = _jfs(spark, path)
     tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     out = fs.create(tmp, True)
@@ -96,8 +107,28 @@ def write_text_atomic(spark, path: str, text: str) -> None:
         raise IOError(f"atomic commit rename failed: {path}")
 
 
+def read_text_atomic(spark, path: str) -> str:
+    """Read a :func:`write_text_atomic`-committed file, surviving a
+    crash between the commit's delete and rename: prefer ``path``;
+    when it is missing, fall back to ``path.tmp``, which the write
+    ordering guarantees is the complete NEW content whenever ``path``
+    is absent."""
+    fs, p = _jfs(spark, path)
+    if fs.exists(p):
+        return read_text(spark, path)
+    tmp = path + ".tmp"
+    _, t = _jfs(spark, tmp)
+    if fs.exists(t):
+        return read_text(spark, tmp)
+    return read_text(spark, path)  # raise the natural not-found error
+
+
 def read_json(spark, path: str) -> dict:
     return json.loads(read_text(spark, path))
+
+
+def read_json_atomic(spark, path: str) -> dict:
+    return json.loads(read_text_atomic(spark, path))
 
 
 def write_json_atomic(spark, path: str, obj) -> None:

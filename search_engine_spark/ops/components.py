@@ -111,8 +111,8 @@ def _edge_sets_equal(a: DataFrame, b: DataFrame) -> bool:
         F.count("*").alias("n"),
         F.coalesce(
             F.sum(
-                # 56-bit hash summed as decimal(38,0): immune to int64
-                # overflow at any edge count
+                # 56-bit hash cast decimal(20,0); Spark widens the SUM
+                # to decimal(30,0) — immune to overflow at any edge count
                 F.conv(F.substring(F.md5(F.concat_ws(",", "u", "v")), 1, 14), 16, 10)
                 .cast("decimal(20,0)")
             ),

@@ -47,10 +47,14 @@ def pii_counts(
 ) -> DataFrame:
     """Per-doc PII hit counts: (id, n_<category>..., n_pii, has_pii).
 
-    One codegen'd projection; counts are per-category on the raw text
-    (categories may overlap — e.g. an SSN also under a broader number
-    pattern would count twice; the fixed patterns here are disjoint by
-    construction, see module docstring).
+    One codegen'd projection; counts are per-category on the RAW text,
+    so categories CAN overlap and ``n_pii`` counts spans, not distinct
+    characters — e.g. a 13-digit run in an email local part
+    (``1234567890123@x.com``) hits both ``n_email`` and ``n_longnum``
+    ('@' is a word boundary). Redaction is the sequential-semantics
+    path (earlier categories consume text before later ones see it);
+    counting stays independent so each column answers "how many of
+    THIS shape appear" and the oracle SQL stays a per-pattern count.
     """
     col = F.col(text_col)
     counts = [

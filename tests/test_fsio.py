@@ -68,3 +68,27 @@ def test_build_append_query_through_viewfs(spark, viewfs_root):
 
     # the mounted directory really holds the index (sanity)
     assert os.path.exists(os.path.join(viewfs_root, "engine_index", "_meta.json"))
+
+
+def test_atomic_read_survives_crash_between_delete_and_rename(spark, viewfs_root):
+    """Hadoop rename won't overwrite, so the atomic commit is
+    write-tmp -> delete-dst -> rename. A crash between the delete and
+    the rename leaves only the COMPLETE .tmp; read_*_atomic must serve
+    it (otherwise an index would lose its _meta.json and be
+    unopenable, defeating recover())."""
+    base = "viewfs://segraft/idx/crashwin"
+    fsio.mkdirs(spark, base)
+    meta = fsio.join(base, "_meta.json")
+    fsio.write_json_atomic(spark, meta, {"gen": 1})
+
+    # simulate the window: the NEW content sits complete in .tmp and
+    # the destination has already been deleted
+    fsio.write_text_atomic(spark, meta + ".manual", '{"gen": 2}')
+    fsio.rename(spark, meta + ".manual", meta + ".tmp")
+    fsio.delete(spark, meta, recursive=False)
+
+    assert fsio.read_json_atomic(spark, meta) == {"gen": 2}
+    # normal state: destination wins over a stale .tmp
+    fsio.write_json_atomic(spark, meta, {"gen": 3})
+    fsio.write_text_atomic(spark, meta + ".tmp", '{"gen": 999}')
+    assert fsio.read_json_atomic(spark, meta) == {"gen": 3}

@@ -181,3 +181,48 @@ def test_incremental_finalize_scans_only_new_chunk(spark, tmp_path):
     for table, files in scans.items():
         for f in files:
             assert "chunk=1" in f, f"{table} finalize scanned {f}"
+
+
+def test_stale_reader_survives_append_snapshot_gc(spark, tmp_path):
+    """Snapshot GC grace: an engine opened BEFORE an append still holds
+    lazy plans over the previous terms_v* snapshot — the append's meta
+    flip must keep that one snapshot (GC with one generation of grace)
+    so the stale reader keeps answering; _refresh then picks up the
+    new snapshot and sees the appended docs."""
+    import os
+
+    idx = str(tmp_path / "idx")
+    builder = IndexBuilder(spark, idx, block_span=16)
+    builder.build(synthetic_transcripts(spark, n_convs=4, turns_per_conv=4))
+
+    stale = TranscriptSearchEngine(spark, idx, cache=False)
+    before = stale.ranked_query("test", k=5)
+    old_snapshot = stale._terms_name
+    assert before
+
+    # append from a SECOND builder (separate writer process in spirit)
+    IndexBuilder(spark, idx, block_span=16).append(
+        synthetic_transcripts(spark, n_convs=2, turns_per_conv=4)
+    )
+
+    # the superseded snapshot survives the flip...
+    assert os.path.isdir(os.path.join(idx, old_snapshot))
+    # ...so the stale reader still queries without error
+    assert stale.ranked_query("test", k=5)
+    assert stale.find_spelling_candidates("tst", 0.3)
+
+    # refresh -> new snapshot, appended docs visible
+    stale._refresh()
+    assert stale._terms_name != old_snapshot
+    assert stale.num_docs == 24
+
+    # a SECOND append retires the oldest snapshot (grace is exactly one
+    # generation: current + newest-superseded survive)
+    IndexBuilder(spark, idx, block_span=16).append(
+        synthetic_transcripts(spark, n_convs=1, turns_per_conv=4)
+    )
+    snaps = sorted(
+        n for n in os.listdir(idx) if n.startswith("terms_v")
+    )
+    assert len(snaps) == 2
+    assert old_snapshot not in snaps
