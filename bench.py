@@ -2,12 +2,23 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "build_turns_per_sec": ...}
+   "queries": {name: MEDIAN sec, ...}, "repeats": {name: [sec, ...]},
+   "cpu_probe_secs": {...}, "sf": ..., "build_turns_per_sec": ...}
 
 Covers the north-rule hot paths: full Porter2 index build
 (turns/sec), ranked / boolean / phrase / wildcard query latency over
 the built index, and the training-data pipeline ops (dedup sweeps,
 similarity top-k, text stats) at the same scale factor.
+
+Measurement discipline (this VM swings ±2x with neighbor throttle —
+see BENCH.md): every repeatable query runs REPEATS interleaved rounds
+(round-robin over the whole suite, so a throttle window hits all
+queries, not one) and ``queries`` reports per-query MEDIANS; the
+single-shot stages (build, append — they mutate the index) are
+bracketed by the same fixed single-core numpy CPU probe
+``tools/scaling_run.py`` uses, recorded in ``cpu_probe_secs``
+(healthy < 2 s; 6-18 s means the box was throttled and the run should
+not be read as a code regression).
 """
 
 from __future__ import annotations
@@ -15,7 +26,21 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import time
+
+REPEATS = 3
+
+
+def cpu_probe() -> float:
+    """Fixed single-core numpy workload (seconds) — same probe as
+    tools/scaling_run.py; healthy < 2 s on this VM."""
+    import numpy as np
+
+    a = np.random.default_rng(0).integers(0, 1 << 40, 10_000_000)
+    t0 = time.time()
+    np.sort(a)
+    return round(time.time() - t0, 2)
 
 
 def main() -> None:
@@ -39,6 +64,8 @@ def main() -> None:
     )
     from search_engine_spark.session import get_spark
 
+    probes: dict[str, float] = {"pre": cpu_probe()}
+
     spark = get_spark(
         app_name="search-engine-bench",
         master=f"local[{cpus}]",
@@ -49,25 +76,24 @@ def main() -> None:
     docs.persist().count()
     emb.persist().count()
 
-    timings: dict[str, float] = {}
+    repeats: dict[str, list[float]] = {}
 
-    def timed(name: str, fn):
+    def record(name: str, fn):
         t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
-        return out
+        fn()
+        repeats.setdefault(name, []).append(round(time.time() - t0, 3))
 
-    # ---- index build (the north-rule critical path) -----------------------
+    # ---- index build (the north-rule critical path; single-shot) ----------
     index_dir = "/tmp/bench_index"
     shutil.rmtree(index_dir, ignore_errors=True)
     transcripts = documents_as_transcripts(docs)
     n_turns = docs.count()
-    metrics = timed(
+    record(
         "build_index",
         lambda: TranscriptSearchEngine.build(spark, transcripts, index_dir)
         and None,
     )
-    del metrics
+    probes["post_build"] = cpu_probe()
     eng = TranscriptSearchEngine(spark, index_dir)
     # warm caches + Python UDF workers so query timings measure the
     # steady-state read path, not one-time session costs (doc_stats is
@@ -78,94 +104,119 @@ def main() -> None:
     eng.ranked_query("warmup")
     eng.boolean_query("warmup")
 
-    # ---- engine read path -------------------------------------------------
-    timed("ranked_query", lambda: eng.ranked_query("spark join fast"))
-    timed(
-        "ranked_wand",
-        lambda: eng.ranked_query("spark join fast", pruned=True),
-    )
-    timed("boolean_query", lambda: eng.boolean_query("spark vector + dup"))
     batch_queries = [
         f"{a} {b}"
         for a in ["spark", "join", "fast", "test"]
         for b in ["query", "vector", "stream", "dup"]
     ]
-    timed("ranked_batch16", lambda: eng.ranked_query_batch(batch_queries, k=10))
-    timed(
-        "ranked_batch16_wand",
-        lambda: eng.ranked_query_batch(batch_queries, k=10, pruned=True),
-    )
-    timed("phrase_query", lambda: eng.boolean_query('"hash join"'))
-    timed("wildcard_ranked", lambda: eng.ranked_query("s*m query"))
-
-    # ---- simple-analyzer relational path ---------------------------------
-    timed("tf_table_agg", lambda: simple.tf_table(docs).count())
-    timed(
-        "ranked_topk_simple",
-        lambda: simple.ranked_topk(docs, ["spark", "join", "fast"], 10).collect(),
-    )
-
-    # ---- training-data ops ------------------------------------------------
-    timed("dedup_exact", lambda: dedup.exact_duplicates(docs).where("is_dup").count())
-    timed(
-        "dedup_minhash",
-        lambda: dedup.minhash_near_dup_pairs(docs, threshold=0.7).count(),
-    )
-    timed(
-        "dedup_simhash",
-        lambda: dedup.simhash_near_dup_pairs(docs, max_hamming=3).count(),
-    )
-    timed(
-        "dedup_groups",
-        lambda: components.dedup_groups(docs, threshold=0.7)
-        .where("keep")
-        .count(),
-    )
-    timed(
-        "sample_stratified",
-        lambda: sampling.stratified_sample(
-            docs, {"en": 0.1, "de": 0.5, "es": 0.2, "fr": 1.0}, "lang"
-        ).count(),
-    )
-    timed(
-        "pii_redact",
-        lambda: pii.redact_pii(docs)
-        .agg(F.sum(F.length("redacted")))
-        .collect(),
-    )
-    timed(
-        "decontam",
-        lambda: decontam.contamination(
-            docs.where("doc_id % 97 != 0"), docs.where("doc_id % 97 = 0")
-        )
-        .where("contaminated")
-        .count(),
-    )
     qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
-    timed("embed_topk", lambda: similarity.cosine_topk(emb, qv, 10).collect())
-    timed(
-        "text_stats",
-        lambda: textstats.quality_scores(docs)
-        .join(textstats.language_scores(docs), "doc_id")
-        .join(textstats.fingerprints(docs), "doc_id")
-        .count(),
-    )
+
+    suite: list[tuple[str, object]] = [
+        # ---- engine read path ----
+        ("ranked_query", lambda: eng.ranked_query("spark join fast")),
+        (
+            "ranked_wand",
+            lambda: eng.ranked_query("spark join fast", pruned=True),
+        ),
+        ("boolean_query", lambda: eng.boolean_query("spark vector + dup")),
+        (
+            "ranked_batch16",
+            lambda: eng.ranked_query_batch(batch_queries, k=10),
+        ),
+        (
+            "ranked_batch16_wand",
+            lambda: eng.ranked_query_batch(batch_queries, k=10, pruned=True),
+        ),
+        ("phrase_query", lambda: eng.boolean_query('"hash join"')),
+        ("wildcard_ranked", lambda: eng.ranked_query("s*m query")),
+        # ---- simple-analyzer relational path ----
+        ("tf_table_agg", lambda: simple.tf_table(docs).count()),
+        (
+            "ranked_topk_simple",
+            lambda: simple.ranked_topk(
+                docs, ["spark", "join", "fast"], 10
+            ).collect(),
+        ),
+        # ---- training-data ops ----
+        (
+            "dedup_exact",
+            lambda: dedup.exact_duplicates(docs).where("is_dup").count(),
+        ),
+        (
+            "dedup_minhash",
+            lambda: dedup.minhash_near_dup_pairs(docs, threshold=0.7).count(),
+        ),
+        (
+            "dedup_simhash",
+            lambda: dedup.simhash_near_dup_pairs(docs, max_hamming=3).count(),
+        ),
+        (
+            "dedup_groups",
+            lambda: components.dedup_groups(docs, threshold=0.7)
+            .where("keep")
+            .count(),
+        ),
+        (
+            "sample_stratified",
+            lambda: sampling.stratified_sample(
+                docs, {"en": 0.1, "de": 0.5, "es": 0.2, "fr": 1.0}, "lang"
+            ).count(),
+        ),
+        (
+            "pii_redact",
+            lambda: pii.redact_pii(docs)
+            .agg(F.sum(F.length("redacted")))
+            .collect(),
+        ),
+        (
+            "decontam",
+            lambda: decontam.contamination(
+                docs.where("doc_id % 97 != 0"), docs.where("doc_id % 97 = 0")
+            )
+            .where("contaminated")
+            .count(),
+        ),
+        ("embed_topk", lambda: similarity.cosine_topk(emb, qv, 10).collect()),
+        (
+            "text_stats",
+            lambda: textstats.quality_scores(docs)
+            .join(textstats.language_scores(docs), "doc_id")
+            .join(textstats.fingerprints(docs), "doc_id")
+            .count(),
+        ),
+    ]
+
+    # interleaved repeats: round-robin over the whole suite so a
+    # throttle window degrades one ROUND of every query (visible in
+    # the spread), not every repeat of one query
+    for rnd in range(REPEATS):
+        for name, fn in suite:
+            record(name, fn)
+        probes[f"round{rnd}"] = cpu_probe()
 
     # ---- incremental append (last: it mutates the bench index) ------------
     # 1% of the corpus as one append chunk — with the incremental
     # finalize this must cost O(new docs) + O(dictionary), not O(index)
     delta = documents_as_transcripts(docs.limit(max(n_turns // 100, 1)))
-    timed("append_1pct", lambda: eng.append(delta))
+    record("append_1pct", lambda: eng.append(delta))
+    probes["post"] = cpu_probe()
 
-    total = round(sum(timings.values()), 3)
-    build_tps = round(n_turns / timings["build_index"], 2)
+    medians = {
+        name: round(statistics.median(vals), 3)
+        for name, vals in repeats.items()
+    }
+    total = round(sum(medians.values()), 3)
+    build_tps = round(n_turns / medians["build_index"], 2)
     print(
         json.dumps(
             {
                 "metric": "index_build_plus_query_suite",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
+                "repeats": repeats,
+                "cpu_probe_secs": probes,
+                "n_repeats": REPEATS,
                 "sf": sf,
                 "n_turns": n_turns,
                 "build_turns_per_sec": build_tps,
