@@ -6,11 +6,11 @@ engine, ranked retrieval over sf0.001 documents-as-transcripts).
 ``search_engine_spark.contract`` — each Spark plan paired with a
 DuckDB-runnable SQL oracle replicating its exact semantics (md5-derived
 hashing + fixed-precision rounding make outputs bit-comparable). The
-Porter2 engine and ANN entries get oracles via materialized
-deterministic inputs (stemmed-tf dump; inlined hyperplane / centroid
-literals re-derived by the same pure-numpy helpers the Spark plans
-use — see ``contract.py``); only ``multimodal_features`` remains
-rows-only (synthetic media UDFs, nothing SQL-comparable). The catalog
+Porter2 engine, ANN, and multimodal entries get oracles via
+materialized deterministic inputs (stemmed-tf dump; inlined
+hyperplane / centroid literals; fake-feature dump — each re-derived
+by the same pure-Python/numpy helpers the Spark plans use, see
+``contract.py``), so all 39 entries carry value-level oracles. The catalog
 also covers the curation surface: composed pipeline, PII scan/redact,
 benchmark decontamination, dedup groups, deterministic sampling.
 """
