@@ -38,6 +38,10 @@ def cpu_probe() -> float:
     import numpy as np
 
     a = np.random.default_rng(0).integers(0, 1 << 40, 10_000_000)
+    # warm the allocator: the first sort in a fresh process pays the
+    # copy's page faults inside the timed section (3-5 s cold vs
+    # 0.2 s warm on an idle box)
+    np.sort(a[: a.size // 4])
     t0 = time.time()
     np.sort(a)
     return round(time.time() - t0, 2)
