@@ -434,7 +434,7 @@ class IndexBuilder:
     _SPLIT_CONF = "spark.sql.files.maxPartitionBytes"
 
     def _set_docs_split_conf(self) -> str | None:
-        """Size docs-scan file splits for ~4 map tasks per core.
+        """Size docs-scan file splits for ~4 map tasks per build slot.
 
         The chunk build's heavy stages (analyzer UDF, posting encoder)
         are whole-partition Arrow workers over the docs scan; Spark's
@@ -443,11 +443,21 @@ class IndexBuilder:
         stage tail — with no spare tasks to steal. Finer splits (floor
         8 MiB so a split still spans multiple posting blocks and the
         merge's segments-per-key stays ~1-2) give the scheduler slack
-        without adding any shuffle. Returns the previous conf value for
-        :meth:`_restore_split_conf`."""
+        without adding any shuffle.
+
+        Granularity keys off ``write_partitions`` (the build's one
+        parallelism knob — it defaults to shuffle partitions, which
+        tracks cluster width in normal use), NOT ``defaultParallelism``:
+        the scan granularity is then a property of the JOB CONFIG, so
+        running the same configured build on more executors changes only
+        how many tasks run concurrently — never the per-task working set.
+        Cores-derived splits gave a 1-core run of a 6M-turn corpus
+        128 MiB analyzer batches (memory churn, superlinear slowdown)
+        while the 4-core run of the *same job* got 32 MiB ones. Returns
+        the previous conf value for :meth:`_restore_split_conf`."""
         size = fsio.tree_bytes(self.spark, self._t("docs"))
-        cores = self.spark.sparkContext.defaultParallelism
-        target = max(8 << 20, min(128 << 20, size // max(4 * cores, 1)))
+        slots = max(self.write_partitions, 1)
+        target = max(8 << 20, min(128 << 20, size // (4 * slots)))
         old = self.spark.conf.get(self._SPLIT_CONF, None)
         self.spark.conf.set(self._SPLIT_CONF, str(int(target)))
         return old

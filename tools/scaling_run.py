@@ -1,11 +1,22 @@
 """Two-parallelism scaling evidence (north_rule: >=0.8 efficiency N->4N).
 
 No real cluster exists in this sandbox, so the same job runs at two
-local parallelism levels (local[N] vs local[4N], shuffle partitions
-scaled with cores) over the SAME pre-generated input, per BASELINE.md.
+local parallelism levels (local[N] vs local[4N]) over the SAME
+pre-generated input, per BASELINE.md.
+
+"Same job" is taken literally: the data layout — shuffle partition
+count, build write_partitions, and (via build.py keying its scan-split
+sizing off write_partitions) the docs-scan split size — is FIXED across
+both legs; only the core count varies. That is how a real N->4N cluster
+test works (the job config doesn't change when you add executors), and
+it is also what makes the comparison honest on this box: scaling the
+partition count with cores gave the 1-core leg one giant postings
+partition and 128 MiB analyzer splits, whose spill/memory churn
+inflated its time superlinearly and fabricated >1.0 "efficiencies".
 
 Single-config mode (subprocess):
-    python tools/scaling_run.py --cores 8 --input /tmp/scaling_corpus
+    python tools/scaling_run.py --cores 8 --partitions 16 \
+        --input /tmp/scaling_corpus
 
 Orchestrator mode (runs both, writes bench_scaling.json + prints table):
     python tools/scaling_run.py --turns 200000
@@ -44,17 +55,20 @@ def cpu_probe() -> float:
     return round(time.time() - t0, 2)
 
 
-def run_one(cores: int, input_path: str) -> dict:
+def run_one(cores: int, input_path: str, partitions: int) -> dict:
     from search_engine_spark.engine import TranscriptSearchEngine
     from search_engine_spark.session import get_spark
 
     probe = cpu_probe()
     t_leg0 = time.time()
 
+    # partitions (shuffle width + build write_partitions) is part of the
+    # JOB, not the leg: both legs get the same value so per-task working
+    # sets are identical and only concurrency differs
     spark = get_spark(
         app_name=f"scaling-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=cores,
+        shuffle_partitions=partitions,
     )
     transcripts = spark.read.parquet(input_path)
     n_turns = transcripts.count()
@@ -66,7 +80,7 @@ def run_one(cores: int, input_path: str) -> dict:
     shutil.rmtree(index_dir, ignore_errors=True)
     t0 = time.time()
     TranscriptSearchEngine.build(
-        spark, transcripts, index_dir, write_partitions=cores
+        spark, transcripts, index_dir, write_partitions=partitions
     )
     warmup_secs = time.time() - t0
     shutil.rmtree(index_dir, ignore_errors=True)
@@ -82,7 +96,7 @@ def run_one(cores: int, input_path: str) -> dict:
         mid = cpu_probe()
     t0 = time.time()
     eng = TranscriptSearchEngine.build(
-        spark, transcripts, index_dir, write_partitions=cores
+        spark, transcripts, index_dir, write_partitions=partitions
     )
     build_secs = time.time() - t0
     # post-probe immediately after the measured build (before queries):
@@ -109,6 +123,7 @@ def run_one(cores: int, input_path: str) -> dict:
 
     return {
         "cores": cores,
+        "partitions": partitions,
         "n_turns": n_turns,
         "cpu_probe_secs": probe,
         # probe right before the measured build (post-gate) and AFTER
@@ -129,7 +144,8 @@ def run_one(cores: int, input_path: str) -> dict:
     }
 
 
-def orchestrate(turns: int, cores_lo: int, cores_hi: int, repeats: int) -> None:
+def orchestrate(turns: int, cores_lo: int, cores_hi: int, repeats: int,
+                partitions: int) -> None:
     """Interleaved repeated runs: lo, hi, lo, hi, ... so shared-VM noise
     hits both legs alike; the headline is the MEDIAN efficiency across
     repeats (a single pair can ride one throttled leg)."""
@@ -148,7 +164,8 @@ def orchestrate(turns: int, cores_lo: int, cores_hi: int, repeats: int) -> None:
 
     def one(cores: int) -> dict:
         out = subprocess.run(
-            [sys.executable, __file__, "--cores", str(cores), "--input", input_path],
+            [sys.executable, __file__, "--cores", str(cores),
+             "--partitions", str(partitions), "--input", input_path],
             capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
@@ -211,6 +228,7 @@ def orchestrate(turns: int, cores_lo: int, cores_hi: int, repeats: int) -> None:
     summary = {
         "n_turns": lo0["n_turns"],
         "cores": [cores_lo, cores_hi],
+        "partitions": partitions,
         "repeats": len(pairs),
         "healthy_pairs": len(clean),
         "probe_threshold_secs": probe_ok,
@@ -249,11 +267,15 @@ def main():
     ap.add_argument("--lo", type=int, default=8)
     ap.add_argument("--hi", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=3)
+    # fixed job-wide layout; default 4 tasks/core at the WIDE leg so the
+    # narrow leg just runs the same tasks with less concurrency
+    ap.add_argument("--partitions", type=int, default=None)
     args = ap.parse_args()
+    partitions = args.partitions or 4 * args.hi
     if args.cores:
-        print(json.dumps(run_one(args.cores, args.input)))
+        print(json.dumps(run_one(args.cores, args.input, partitions)))
     else:
-        orchestrate(args.turns, args.lo, args.hi, args.repeats)
+        orchestrate(args.turns, args.lo, args.hi, args.repeats, partitions)
 
 
 if __name__ == "__main__":
