@@ -33,7 +33,7 @@ import math
 import time
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -893,6 +893,19 @@ class IndexBuilder:
         )
         t2 = time.time()
 
+        # unstemmed vocabulary for the k-gram index (reference adds the
+        # specials-stripped word BEFORE stemming, memoryindex.py:32-33).
+        # Runs right after the analyzer pass populates the cache — the
+        # words column batches are still hot (JVM block LRU + OS page
+        # cache) — rather than after the postings job has streamed the
+        # whole cache through the shuffle.
+        vocab = analyzed.select(F.explode("words").alias("word")).distinct()
+        vocab.write.mode("overwrite").parquet(self._t("vocab_chunks", f"chunk={chunk}"))
+        self._ensure_readable(
+            self._t("vocab_chunks", f"chunk={chunk}"), "word string"
+        )
+        t3 = time.time()
+
         # transpose doc-major -> term-major, SPIMI style: each doc-range
         # partition flushes its own encoded (term, block) segments
         # map-side, so the one wide exchange moves compressed posting
@@ -919,10 +932,25 @@ class IndexBuilder:
                 + F.pmod(F.xxhash64("term", "block_id"), F.lit(sub_slots)),
             )
         )
+        # per-chunk row/byte metrics ride the write job itself
+        # (Observation aggregates accumulate during the action) — the
+        # alternative, re-scanning the just-written postings, reads the
+        # whole chunk's binary columns back a second time; at 10^12-turn
+        # scale that is a petabyte-class re-read for three numbers
+        obs = Observation(f"postings_metrics_{chunk}")
         (
             partials.repartition(self.write_partitions, "pid")
             .drop("pid")
             .mapInArrow(_merge_sorted_partition, POSTINGS_BUCKETED_SCHEMA)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(
+                    F.sum(F.length("postings_bin") + F.length("positions_bin")),
+                    F.lit(0),
+                ).alias("bytes"),
+                F.coalesce(F.sum("df_block"), F.lit(0)).alias("tf_rows"),
+            )
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(self._t("postings", f"chunk={chunk}"))
@@ -932,25 +960,10 @@ class IndexBuilder:
         self._ensure_readable(
             self._t("postings", f"chunk={chunk}", "bucket=0"), POSTINGS_SCHEMA
         )
-        t3 = time.time()
-
-        # unstemmed vocabulary for the k-gram index (reference adds the
-        # specials-stripped word BEFORE stemming, memoryindex.py:32-33)
-        vocab = analyzed.select(F.explode("words").alias("word")).distinct()
-        vocab.write.mode("overwrite").parquet(self._t("vocab_chunks", f"chunk={chunk}"))
-        self._ensure_readable(
-            self._t("vocab_chunks", f"chunk={chunk}"), "word string"
-        )
+        agg = obs.get
         t4 = time.time()
         analyzed.unpersist()
 
-        agg = self.spark.read.parquet(self._t("postings", f"chunk={chunk}")).agg(
-            F.count("*").alias("rows"),
-            F.coalesce(
-                F.sum(F.length("postings_bin") + F.length("positions_bin")), F.lit(0)
-            ).alias("bytes"),
-            F.coalesce(F.sum("df_block"), F.lit(0)).alias("tf_rows"),
-        ).collect()[0]
         return {
             "chunk": chunk,
             "posting_rows": agg["rows"],
@@ -959,9 +972,8 @@ class IndexBuilder:
             "secs": time.time() - t0,
             "phases": {
                 "tf_and_stats": round(t2 - t1, 2),
-                "postings": round(t3 - t2, 2),
-                "vocab": round(t4 - t3, 2),
-                "metrics_agg": round(time.time() - t4, 2),
+                "vocab": round(t3 - t2, 2),
+                "postings": round(t4 - t3, 2),
             },
         }
 

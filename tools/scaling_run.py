@@ -162,13 +162,23 @@ def orchestrate(turns: int, cores_lo: int, cores_hi: int, repeats: int,
                               num_partitions=64).write.mode("overwrite").parquet(input_path)
         spark.stop()
 
-    def one(cores: int) -> dict:
+    def one(cores: int) -> dict | None:
         out = subprocess.run(
             [sys.executable, __file__, "--cores", str(cores),
              "--partitions", str(partitions), "--input", input_path],
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
+        if out.returncode != 0:
+            # surface the child's failure instead of aborting the whole
+            # campaign (a lost leg costs one pair, not the session) —
+            # and KEEP the stderr tail: a swallowed traceback once cost
+            # a 25-minute diagnosis round-trip
+            print(f"# leg cores={cores} FAILED (exit {out.returncode}):",
+                  file=sys.stderr)
+            for line in out.stderr.strip().splitlines()[-15:]:
+                print(f"#   {line}", file=sys.stderr)
+            return None
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     # a pair is HEALTHY when all four bracketing probes (pre+post of
@@ -206,7 +216,10 @@ def orchestrate(turns: int, cores_lo: int, cores_hi: int, repeats: int,
         # hi (short) leg first: the steal windows on this VM last
         # minutes, so the leg least able to hide them runs while the
         # pre-probe verdict is freshest
-        hi, lo = one(cores_hi), one(cores_lo)
+        hi = one(cores_hi)
+        lo = one(cores_lo) if hi is not None else None
+        if hi is None or lo is None:
+            continue
         eff = (lo["build_secs"] / hi["build_secs"]) / (cores_hi / cores_lo)
         pairs.append({"repeat": r, "lo": lo, "hi": hi,
                       "efficiency": round(eff, 3)})
