@@ -11,7 +11,7 @@ both legs; only the core count varies. That is how a real N->4N cluster
 test works (the job config doesn't change when you add executors), and
 it is also what makes the comparison honest on this box: scaling the
 partition count with cores gave the 1-core leg one giant postings
-partition and 128 MiB analyzer splits, whose spill/memory churn
+partition and ~64 MiB analyzer splits, whose spill/memory churn
 inflated its time superlinearly and fabricated >1.0 "efficiencies".
 
 Single-config mode (subprocess):
@@ -94,13 +94,35 @@ def run_one(cores: int, input_path: str, partitions: int) -> dict:
             break
         time.sleep(60)
         mid = cpu_probe()
+    # watchdog: sample the probe INSIDE the measured window. Edge
+    # probes cannot see a steal window that opens and closes mid-build
+    # (observed: a 578 s 4-core build — 3.3x its healthy 175 s — with
+    # 2.3/2.5 s probes on both edges). The box has 32 vCPUs and the
+    # legs use at most `cores`+driver, so a ~1 s single-core probe
+    # every 45 s runs on an otherwise-idle vCPU and costs the build
+    # nothing unless the HOST is stealing — which is exactly the
+    # signal. Both legs pay the identical (negligible) tax.
+    import threading
+
+    during: list[float] = []
+    stop = threading.Event()
+
+    def _watch():
+        while not stop.wait(45.0):
+            during.append(cpu_probe())
+
+    watcher = threading.Thread(target=_watch, daemon=True)
+    watcher.start()
     t0 = time.time()
     eng = TranscriptSearchEngine.build(
         spark, transcripts, index_dir, write_partitions=partitions
     )
     build_secs = time.time() - t0
+    stop.set()
+    watcher.join(timeout=30)
     # post-probe immediately after the measured build (before queries):
-    # [mid, post] brackets exactly the timing the efficiency uses
+    # [mid, during..., post] brackets exactly the timing the efficiency
+    # uses
     post = cpu_probe()
 
     # steady-state query batch (caches + workers warmed first;
@@ -130,6 +152,8 @@ def run_one(cores: int, input_path: str, partitions: int) -> dict:
         # the queries: shared-VM throttling that arrives mid-leg (the
         # failure mode a single pre-probe misses) shows up here
         "cpu_probe_mid_secs": mid,
+        "cpu_probe_during_max_secs": round(max(during), 2) if during else 0.0,
+        "cpu_probe_during_secs": during,
         "cpu_probe_post_secs": post,
         "leg_wall_secs": round(time.time() - t_leg0, 2),
         "warmup_build_secs": round(warmup_secs, 2),
@@ -192,10 +216,14 @@ def orchestrate(turns: int, cores_lo: int, cores_hi: int, repeats: int,
     need_healthy = int(os.environ.get("SCALING_HEALTHY_PAIRS", "1"))
 
     def healthy(pair) -> bool:
+        # edge probes AND the in-build watchdog maxima: a pair is clean
+        # only if no sample anywhere inside either measured window saw
+        # the host stealing
         return all(
             leg[k] <= probe_ok
             for leg in (pair["lo"], pair["hi"])
-            for k in ("cpu_probe_mid_secs", "cpu_probe_post_secs")
+            for k in ("cpu_probe_mid_secs", "cpu_probe_during_max_secs",
+                      "cpu_probe_post_secs")
         )
 
     pairs = []
@@ -224,9 +252,13 @@ def orchestrate(turns: int, cores_lo: int, cores_hi: int, repeats: int,
         pairs.append({"repeat": r, "lo": lo, "hi": hi,
                       "efficiency": round(eff, 3)})
         print(f"# repeat {r}: {cores_lo}c {lo['build_secs']}s "
-              f"(probes {lo['cpu_probe_mid_secs']}/{lo['cpu_probe_post_secs']}s), "
+              f"(probes {lo['cpu_probe_mid_secs']}/"
+              f"{lo['cpu_probe_during_max_secs']}max/"
+              f"{lo['cpu_probe_post_secs']}s), "
               f"{cores_hi}c {hi['build_secs']}s "
-              f"(probes {hi['cpu_probe_mid_secs']}/{hi['cpu_probe_post_secs']}s), "
+              f"(probes {hi['cpu_probe_mid_secs']}/"
+              f"{hi['cpu_probe_during_max_secs']}max/"
+              f"{hi['cpu_probe_post_secs']}s), "
               f"eff {eff:.3f} healthy={healthy(pairs[-1])}",
               file=sys.stderr)
         if sum(healthy(p) for p in pairs) >= need_healthy:
@@ -251,8 +283,12 @@ def orchestrate(turns: int, cores_lo: int, cores_hi: int, repeats: int,
             p["hi"]["build_turns_per_sec"] for p in pairs
         ),
         "cpu_probe_secs": [
-            [p["lo"]["cpu_probe_mid_secs"], p["lo"]["cpu_probe_post_secs"],
-             p["hi"]["cpu_probe_mid_secs"], p["hi"]["cpu_probe_post_secs"]]
+            [p["lo"]["cpu_probe_mid_secs"],
+             p["lo"]["cpu_probe_during_max_secs"],
+             p["lo"]["cpu_probe_post_secs"],
+             p["hi"]["cpu_probe_mid_secs"],
+             p["hi"]["cpu_probe_during_max_secs"],
+             p["hi"]["cpu_probe_post_secs"]]
             for p in pairs
         ],
         "efficiencies": effs,
