@@ -452,8 +452,8 @@ class IndexBuilder:
         running the same configured build on more executors changes only
         how many tasks run concurrently — never the per-task working set.
         Cores-derived splits gave a 1-core run of a 6M-turn corpus
-        128 MiB analyzer batches (memory churn, superlinear slowdown)
-        while the 4-core run of the *same job* got 32 MiB ones. Returns
+        ~64 MiB analyzer batches (memory churn, superlinear slowdown)
+        while the 4-core run of the *same job* got ~16 MiB ones. Returns
         the previous conf value for :meth:`_restore_split_conf`."""
         size = fsio.tree_bytes(self.spark, self._t("docs"))
         slots = max(self.write_partitions, 1)
