@@ -22,10 +22,13 @@ document filename.
 The server is a thin driver-side veneer: every endpoint delegates to
 :class:`search_engine_spark.api.SearchService`, whose responses are
 built from pruned, CAPPED scans (``MAX_TERMS_INLINE`` vocab page,
-``MAX_CONTENTS_INLINE`` metadata page over an isin-pushed lookup) —
-nothing here collects unbounded data to the driver, so the same code
-fronts a 10^12-turn cluster index: a stopword boolean query returns
-its full ``doc_ids`` but inlines text for only the first page.
+``MAX_CONTENTS_INLINE`` metadata page over an isin-pushed lookup).
+Every text/metadata collect is bounded; the one deliberately
+result-sized payload is the ``doc_ids`` list itself, which stays
+complete because the reference's response contract returns the full
+match list (``app.py``/``index.js`` render it) — a caller fronting a
+10^12-turn index with stopword queries should paginate that list, and
+gets everything else at O(page) driver cost.
 """
 
 from __future__ import annotations
