@@ -185,6 +185,52 @@ def _block_phrase(n_slots: int, block_span: int):
     return run
 
 
+def _block_near(term_a: str, term_b: str, max_dist: int, block_span: int):
+    """Per-block positional NEAR/k matcher (proximity search).
+
+    Same composite-key trick as :func:`_block_phrase`: each (doc,
+    position) pair becomes ``(doc_id - block_base) * 2^33 + pos +
+    max_dist`` (the ``+ max_dist`` keeps shifted keys non-negative;
+    ``pos + 2*max_dist`` stays < 2^33 for any in-block position). A
+    pair of occurrences with ``pos_a - pos_b = delta`` shows up as a
+    key collision between ``keys_a`` and ``keys_b + delta``, so the
+    NEAR/k docs are the union over ``delta in [-k..k] \\ {0}`` of
+    ``intersect1d(keys_a, keys_b + delta)`` — fully vectorized,
+    2k sorted intersects per block, no per-doc Python loop.
+    ``a NEAR/k a`` needs two DISTINCT positions, which the symmetric
+    ``delta in [1..k]`` half-window gives for free.
+    """
+    same = term_a == term_b
+    deltas = (
+        list(range(1, max_dist + 1))
+        if same
+        else [d for d in range(-max_dist, max_dist + 1) if d != 0]
+    )
+
+    def run(key, pdf):
+        base = int(key[0]) * block_span
+        per_term: dict[str, list[np.ndarray]] = {}
+        for term, pblob, posblob in zip(
+            pdf["term"], pdf["postings_bin"], pdf["positions_bin"]
+        ):
+            d, t = codec.decode_postings(bytes(pblob))
+            flat = codec.decode_positions_flat(bytes(posblob), t)
+            comp = (np.repeat(d, t) - base) * np.int64(1 << 33) + (
+                flat + max_dist
+            )
+            per_term.setdefault(str(term), []).append(comp)
+        if term_a not in per_term or term_b not in per_term:
+            return pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64)})
+        ka = np.concatenate(per_term[term_a])
+        kb = ka if same else np.concatenate(per_term[term_b])
+        hits = [np.intersect1d(ka, kb + np.int64(delta)) for delta in deltas]
+        common = np.concatenate(hits) if hits else np.empty(0, dtype=np.int64)
+        docs = np.unique(common >> np.int64(33)) + base
+        return pd.DataFrame({"doc_id": docs})
+
+    return run
+
+
 class TranscriptSearchEngine:
     #: default byte ceiling above which a table is never persisted —
     #: big enough for every dictionary/kgram table we build locally,
@@ -1028,6 +1074,35 @@ class TranscriptSearchEngine:
         return cells.groupBy("block_id").applyInPandas(
             _block_phrase(n, self.block_span), "doc_id long"
         )
+
+    # -------------------------------------------------------------- proximity
+    def near_query_df(
+        self, word_a: str, word_b: str, max_dist: int = 3
+    ) -> DataFrame:
+        """Docs where the two words occur within ``max_dist`` positions
+        (``a NEAR/k b``) — an extension beyond the reference's grammar
+        that its positional index already pays for (the positions are
+        stored for phrase match, ``memoryindex.py:22-49``; NEAR is the
+        k>1 generalization of the k=1 adjacency the reference exposes).
+        Same pruned-scan + per-block shape as :meth:`_phrase_df`; block
+        results are disjoint so the union needs no dedup."""
+        ta, tb = query_normalize(word_a), query_normalize(word_b)
+        cells = self._postings_for_terms([ta, tb]).select(
+            "block_id", "term", "postings_bin", "positions_bin"
+        )
+        return (
+            cells.groupBy("block_id")
+            .applyInPandas(
+                _block_near(ta, tb, max_dist, self.block_span), "doc_id long"
+            )
+            .orderBy("doc_id")
+        )
+
+    def near_query(
+        self, word_a: str, word_b: str, max_dist: int = 3
+    ) -> list[int]:
+        df = self.near_query_df(word_a, word_b, max_dist)
+        return [int(x) for x in df.toPandas()["doc_id"].to_numpy()]
 
     # --------------------------------------------------------------- wildcard
     def wildcard_expand(self, pattern: str) -> list[str]:

@@ -231,6 +231,50 @@ def phrase_match(
     )
 
 
+def near_match(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_dist: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs where ``term_a`` and ``term_b`` occur within ``max_dist``
+    positions of each other (``a NEAR/k b`` — proximity search, the
+    positional-index generalization of the phrase operator Q8; the
+    reference stores the positions that make this answerable,
+    ``memoryindex.py:22-49``, but only exposes the k=1 adjacent case).
+
+    One scan, one shuffle: positions of both terms are gathered per doc
+    in a single conditional aggregation, then the pair predicate is a
+    codegen'd ``exists x exists y |x-y| <= k`` over the two (per-doc,
+    hence bounded) position arrays — no positional self-join, no second
+    pass over the corpus. ``a NEAR/k a`` means two DISTINCT positions
+    within k (the ``pos <> pos`` guard).
+    """
+    tok = tokens_with_pos(docs, text_col, id_col)
+    hits = (
+        tok.where(F.col("term").isin([term_a, term_b]))
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.when(F.col("term") == term_a, F.col("pos"))
+            ).alias("pa"),
+            F.collect_list(
+                F.when(F.col("term") == term_b, F.col("pos"))
+            ).alias("pb"),
+        )
+    )
+    pair_ok = F.exists(
+        F.col("pa"),
+        lambda x: F.exists(
+            F.col("pb"),
+            lambda y: (F.abs(x - y) <= F.lit(max_dist)) & (x != y),
+        ),
+    )
+    return hits.where(pair_ok).select(id_col)
+
+
 def vocab_kgrams(
     docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -179,3 +179,37 @@ def test_spelling_without_driver_vocab(golden_engine):
         eng.check_spelling("test documant herr", None, ranked_flag=True)
         == "test document here"
     )
+
+
+# ---- proximity (NEAR/k — extension beyond the reference grammar) -------------
+
+def test_near_adjacent(golden_engine):
+    # stems: doc0 = this is a test document; doc1 = anoth test document
+    # is here; doc4 = document test goe here — "test" and "document"
+    # are adjacent in all three
+    assert golden_engine.near_query("test", "document", 1) == [0, 1, 4]
+
+
+def test_near_is_symmetric(golden_engine):
+    assert golden_engine.near_query("document", "test", 1) == [0, 1, 4]
+
+
+def test_near_window_widens_monotonically(golden_engine):
+    # "test" .. "here": doc4 at distance 2 (pos 1 -> 3), doc1 at 3
+    assert golden_engine.near_query("test", "here", 1) == []
+    assert golden_engine.near_query("test", "here", 2) == [4]
+    assert golden_engine.near_query("test", "here", 3) == [1, 4]
+
+
+def test_near_same_term_needs_two_positions(golden_engine):
+    # only doc3 ("Test test! Test test test.") repeats the stem
+    assert golden_engine.near_query("test", "test", 1) == [3]
+
+
+def test_near_stems_like_any_query(golden_engine):
+    # "testing"/"documents" normalize to the same stems
+    assert golden_engine.near_query("testing", "documents", 1) == [0, 1, 4]
+
+
+def test_near_unknown_term(golden_engine):
+    assert golden_engine.near_query("test", "zzznope", 5) == []
