@@ -53,7 +53,7 @@ def _block_scorer(k: int | None):
     the block's full doc range.
     """
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(pdf: pd.DataFrame, *, allowed: np.ndarray | None = None) -> pd.DataFrame:
         order = np.argsort(pdf["qidx"].to_numpy(), kind="stable")
         doc_parts, partial_parts, weight_parts = [], [], []
         for i in order:
@@ -65,6 +65,11 @@ def _block_scorer(k: int | None):
         docs = np.concatenate(doc_parts)
         partials = np.concatenate(partial_parts)
         weights = np.concatenate(weight_parts)
+        if allowed is not None:
+            # predicate filtering happens BEFORE top-k truncation — a
+            # filtered-out doc must never occupy a top-k slot
+            keep = np.isin(docs, allowed)
+            docs, partials, weights = docs[keep], partials[keep], weights[keep]
         uniq, inv = np.unique(docs, return_inverse=True)
         acc = np.zeros(uniq.size)
         np.add.at(acc, inv, partials)  # sequential adds in qidx order
@@ -102,7 +107,7 @@ def _block_bm25_scorer(k: int | None, k1: float, b: float, avgdl: float):
     tie-break doc_id asc — same discipline as the tf-idf scorer.
     """
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(pdf: pd.DataFrame, *, allowed: np.ndarray | None = None) -> pd.DataFrame:
         order = np.argsort(pdf["qidx"].to_numpy(), kind="stable")
         doc_parts, partial_parts = [], []
         for i in order:
@@ -115,6 +120,9 @@ def _block_bm25_scorer(k: int | None, k1: float, b: float, avgdl: float):
             partial_parts.append(pdf["wqt"].iloc[i] * (t * (k1 + 1.0)) / denom)
         docs = np.concatenate(doc_parts)
         partials = np.concatenate(partial_parts)
+        if allowed is not None:
+            keep = np.isin(docs, allowed)
+            docs, partials = docs[keep], partials[keep]
         uniq, inv = np.unique(docs, return_inverse=True)
         acc = np.zeros(uniq.size)
         np.add.at(acc, inv, partials)
@@ -181,6 +189,30 @@ def _block_phrase(n_slots: int, block_span: int):
         common = reduce(np.intersect1d, arrs)
         docs = np.unique(common >> np.int64(33)) + base
         return pd.DataFrame({"doc_id": docs})
+
+    return run
+
+
+def _cogroup_filtered(scorer):
+    """Adapter turning a block scorer into a ``cogroup().applyInPandas``
+    worker for metadata-filtered retrieval: the left side is the
+    block's (query term, postings) cells, the right side is the
+    block's ALLOWED doc_ids (the docs-table predicate's survivors,
+    co-shuffled by block_id). The scorer masks candidates against the
+    allowed set before its per-block top-k — filtering happens before
+    truncation, so a filtered-out doc can never displace an allowed
+    one. A block with no allowed docs (or, for a stopword-free
+    predicate column, no query-term cells) short-circuits to empty."""
+
+    def run(cells: pd.DataFrame, allowed: pd.DataFrame) -> pd.DataFrame:
+        if len(cells) == 0 or len(allowed) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.empty(0, dtype=np.int64),
+                    "score": np.empty(0, dtype=np.float64),
+                }
+            )
+        return scorer(cells, allowed=allowed["doc_id"].to_numpy())
 
     return run
 
@@ -414,20 +446,40 @@ class TranscriptSearchEngine:
         )
 
     # ----------------------------------------------------------------- ranked
-    def ranked_query_df(self, query: str, k: int = DEFAULT_K) -> DataFrame:
-        """Top-k scoring as one DataFrame plan: (doc_id, score)."""
+    def ranked_query_df(
+        self, query: str, k: int = DEFAULT_K, where=None
+    ) -> DataFrame:
+        """Top-k scoring as one DataFrame plan: (doc_id, score).
+
+        ``where`` (Column or SQL string over the docs table's metadata
+        columns — role, tool, ts, conv_id …) restricts the ranking to
+        matching docs: "top-k among assistant turns", "top-k in this
+        time window". See :meth:`_allowed_by_block` for the execution
+        shape."""
         terms = self._ranked_terms(query)
-        return self._score_terms_df(terms, k)
+        return self._score_terms_df(terms, k, where=where)
 
     def ranked_query(
-        self, query: str, k: int = DEFAULT_K, pruned: bool = False
+        self,
+        query: str,
+        k: int = DEFAULT_K,
+        pruned: bool = False,
+        where=None,
     ) -> list[tuple[int, float]]:
         """Top-k ranked retrieval. ``pruned=True`` uses block-max WAND
         pruning — provably rank-identical, decodes fewer posting blocks
-        (``tests/test_wand.py`` asserts equality vs exhaustive)."""
+        (``tests/test_wand.py`` asserts equality vs exhaustive).
+        ``where`` filters by docs metadata (exhaustive path only: WAND's
+        block upper bounds are filter-oblivious, so a selective filter
+        would defeat the pruning they exist for)."""
         if pruned:
+            if where is not None:
+                raise NotImplementedError(
+                    "pruned=True with where= is not supported; the "
+                    "exhaustive filtered path is the scale-correct plan"
+                )
             return self.ranked_query_wand(query, k)
-        df = self.ranked_query_df(query, k)
+        df = self.ranked_query_df(query, k, where=where)
         return [(r["doc_id"], r["score"]) for r in df.collect()]
 
     # -------------------------------------------------------- block-max WAND
@@ -668,7 +720,42 @@ class TranscriptSearchEngine:
             if dfs.get(t)
         ]
 
-    def _score_terms_df(self, terms: list[str], k: int) -> DataFrame:
+    def _allowed_by_block(self, where) -> DataFrame:
+        """(doc_id, block_id) for docs matching a metadata predicate.
+
+        The docs scan is column-pruned to doc_id + the predicate's
+        columns, and the predicate itself is pushed into the Parquet
+        reader (min/max row-group skipping — a ``ts`` range on a
+        time-ordered corpus prunes storage the way the bucket/term
+        predicates do for postings). block_id = doc_id DIV block_span
+        co-shuffles the survivors with the posting blocks they belong
+        to, so the cogrouped scorer sees each block's allowed set
+        without any per-doc join against posting rows."""
+        pred = F.expr(where) if isinstance(where, str) else where
+        return self.docs.where(pred).select(
+            "doc_id",
+            F.expr(f"CAST(doc_id DIV {self.block_span} AS LONG)").alias(
+                "block_id"
+            ),
+        )
+
+    def _scored_blocks(
+        self, cells: DataFrame, scorer, where
+    ) -> DataFrame:
+        """Per-block scoring, optionally cogrouped with a metadata
+        filter (see :func:`_cogroup_filtered`)."""
+        out_schema = "doc_id long, score double"
+        if where is None:
+            return cells.groupBy("block_id").applyInPandas(scorer, out_schema)
+        return (
+            cells.groupBy("block_id")
+            .cogroup(self._allowed_by_block(where).groupBy("block_id"))
+            .applyInPandas(_cogroup_filtered(scorer), out_schema)
+        )
+
+    def _score_terms_df(
+        self, terms: list[str], k: int, where=None
+    ) -> DataFrame:
         spark = self.spark
         empty = spark.createDataFrame([], "doc_id long, score double")
         if not terms:
@@ -698,9 +785,7 @@ class TranscriptSearchEngine:
             .join(F.broadcast(wdf), "term")
             .select("block_id", "qidx", "wqt", "postings_bin", "weights_bin")
         )
-        scored = cells.groupBy("block_id").applyInPandas(
-            _block_scorer(k), "doc_id long, score double"
-        )
+        scored = self._scored_blocks(cells, _block_scorer(k), where)
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def ranked_query_batch(
@@ -912,7 +997,12 @@ class TranscriptSearchEngine:
 
     # ------------------------------------------------------------------ BM25
     def bm25_query_df(
-        self, query: str, k: int = DEFAULT_K, k1: float = 1.2, b: float = 0.75
+        self,
+        query: str,
+        k: int = DEFAULT_K,
+        k1: float = 1.2,
+        b: float = 0.75,
+        where=None,
     ) -> DataFrame:
         """Okapi BM25 top-k as one DataFrame plan: (doc_id, score).
 
@@ -921,7 +1011,8 @@ class TranscriptSearchEngine:
         stored inside each block, so the plan shape is identical to the
         tf-idf scorer: pruned scan -> per-block numpy scoring ->
         TakeOrderedAndProject. Repeated query terms accumulate per
-        occurrence, like ranked_query.
+        occurrence, like ranked_query. ``where`` filters by docs
+        metadata (see :meth:`ranked_query_df`).
         """
         spark = self.spark
         empty = spark.createDataFrame([], "doc_id long, score double")
@@ -937,8 +1028,8 @@ class TranscriptSearchEngine:
             .join(F.broadcast(wdf), "term")
             .select("block_id", "qidx", "wqt", "postings_bin", "doclens_bin")
         )
-        scored = cells.groupBy("block_id").applyInPandas(
-            _block_bm25_scorer(k, k1, b, avgdl), "doc_id long, score double"
+        scored = self._scored_blocks(
+            cells, _block_bm25_scorer(k, k1, b, avgdl), where
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -961,13 +1052,21 @@ class TranscriptSearchEngine:
         k1: float = 1.2,
         b: float = 0.75,
         pruned: bool = False,
+        where=None,
     ) -> list[tuple[int, float]]:
         """Top-k BM25. ``pruned=True`` uses block-max WAND selection —
         rank-identical, scores only blocks whose upper bound can reach
-        the top-k (``tests/test_wand.py`` asserts equality)."""
+        the top-k (``tests/test_wand.py`` asserts equality). ``where``
+        filters by docs metadata (exhaustive path only, like
+        :meth:`ranked_query`)."""
         if pruned:
+            if where is not None:
+                raise NotImplementedError(
+                    "pruned=True with where= is not supported; the "
+                    "exhaustive filtered path is the scale-correct plan"
+                )
             return self.bm25_query_wand(query, k, k1, b)
-        df = self.bm25_query_df(query, k, k1, b)
+        df = self.bm25_query_df(query, k, k1, b, where=where)
         return [(r["doc_id"], r["score"]) for r in df.collect()]
 
     # ---------------------------------------------------------------- boolean

@@ -272,3 +272,68 @@ def test_bm25_wand_rank_identical(spark, tmp_path):
         assert pruned == exhaustive, q
         stats = eng._last_wand_stats
         assert 0 < stats["round1_blocks"] + stats["round2_blocks"] < n_blocks
+
+
+# ---- metadata-filtered retrieval (where= over docs columns) ------------------
+
+def test_filtered_ranked_golden(golden_engine):
+    """Filtering restricts the ranking BEFORE top-k: scores equal the
+    unfiltered ones (df stats and L_d stay corpus-global), only the
+    candidate set shrinks."""
+    eng = golden_engine
+    full = dict(eng.ranked_query("test", k=10))
+    by_role = eng.ranked_query("test", where="role = 'assistant'")
+    assert [d for d, _s in by_role] == [4, 1]
+    assert all(full[d] == s for d, s in by_role)
+    assert eng.ranked_query("test", where="role = 'tool'") == []
+    # ts windows (golden ts = epoch + doc_id seconds)
+    early = eng.ranked_query("test", where="ts < timestamp'2026-01-01 00:00:03'")
+    late = eng.ranked_query("test", where="ts >= timestamp'2026-01-01 00:00:03'")
+    assert {d for d, _s in early} == {0, 1}
+    assert {d for d, _s in late} == {3, 4}
+    # Column predicates work like SQL strings
+    from pyspark.sql import functions as F2
+
+    assert eng.ranked_query("test", where=F2.col("role") == "assistant") == by_role
+
+
+def test_filtered_equals_postfilter(cold_engine):
+    """The cogrouped filter must give exactly post-filtering the FULL
+    ranking (same floats — masking happens before np.unique, so each
+    surviving doc's accumulation order is unchanged)."""
+    eng = cold_engine
+    allowed = {
+        int(r["doc_id"])
+        for r in eng.docs.where("role = 'assistant'").select("doc_id").collect()
+    }
+    for q in ["test", "test here one"]:
+        full = eng.ranked_query(q, k=10**6)
+        expected = [(d, s) for d, s in full if d in allowed][:10]
+        assert eng.ranked_query(q, k=10, where="role = 'assistant'") == expected, q
+        full_bm = eng.bm25_query(q, k=10**6)
+        expected_bm = [(d, s) for d, s in full_bm if d in allowed][:10]
+        assert eng.bm25_query(q, k=10, where="role = 'assistant'") == expected_bm, q
+
+
+def test_filtered_predicate_pushed_to_docs_scan(spark, cold_engine):
+    """The where= predicate must reach the docs Parquet scan as a
+    PushedFilter with the text column pruned — the docs side of the
+    cogroup reads (doc_id, role), never the corpus text."""
+    eng = cold_engine
+    df = eng.ranked_query_df("test document", where="role = 'assistant'")
+    plan = _formatted_plan(spark, df)
+    assert "EqualTo(role,assistant)" in plan
+    assert "In(term, [document,test])" in plan  # postings side still pruned
+    allowed_plan = _formatted_plan(spark, eng._allowed_by_block("role = 'assistant'"))
+    scan_schema = allowed_plan.split("ReadSchema")[-1]
+    assert "text" not in scan_schema
+    assert "role" in scan_schema
+
+
+def test_filtered_wand_unsupported(cold_engine):
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        cold_engine.ranked_query("test", pruned=True, where="role = 'user'")
+    with _pytest.raises(NotImplementedError):
+        cold_engine.bm25_query("test", pruned=True, where="role = 'user'")
