@@ -114,6 +114,13 @@ def main() -> None:
         for b in ["query", "vector", "stream", "dup"]
     ]
     qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    # metadata filter covering the corpus's first half (ts = epoch +
+    # doc_id seconds in documents_as_transcripts)
+    import datetime as dt
+
+    from search_engine_spark.fixtures import _EPOCH
+
+    ts_pred = F.col("ts") < F.lit(_EPOCH + dt.timedelta(seconds=n_turns // 2))
 
     suite: list[tuple[str, object]] = [
         # ---- engine read path ----
@@ -132,6 +139,11 @@ def main() -> None:
             lambda: eng.ranked_query_batch(batch_queries, k=10, pruned=True),
         ),
         ("phrase_query", lambda: eng.boolean_query('"hash join"')),
+        ("near_query", lambda: eng.near_query("spark", "join", 3)),
+        (
+            "ranked_filtered",
+            lambda: eng.ranked_query("spark join fast", where=ts_pred),
+        ),
         ("wildcard_ranked", lambda: eng.ranked_query("s*m query")),
         # ---- simple-analyzer relational path ----
         ("tf_table_agg", lambda: simple.tf_table(docs).count()),

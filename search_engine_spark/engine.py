@@ -1174,6 +1174,22 @@ class TranscriptSearchEngine:
             _block_phrase(n, self.block_span), "doc_id long"
         )
 
+    # ----------------------------------------------------------------- facets
+    def facet_counts(self, query: str, facet_col: str) -> DataFrame:
+        """(facet, n_docs): distribution of a boolean query's matches
+        over a docs metadata column (role, tool, conv_id, a date bucket
+        of ts …) — the facet-sidebar aggregation, served from the same
+        per-block doc sets as the boolean query itself. The facet join
+        keys on doc_id against the column-pruned docs scan and the
+        count is a partial-agg'd groupBy — map-side combinable at any
+        corpus size."""
+        hits = self.boolean_query_df(query)
+        return (
+            hits.join(self.docs.select("doc_id", facet_col), "doc_id")
+            .groupBy(facet_col)
+            .agg(F.count("*").cast("long").alias("n_docs"))
+        )
+
     # -------------------------------------------------------------- proximity
     def near_query_df(
         self, word_a: str, word_b: str, max_dist: int = 3

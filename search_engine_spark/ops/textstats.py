@@ -2,7 +2,9 @@
 counting, document fingerprinting.
 
 All JVM-side expressions (codegen'd; SQL-oracle-checkable). Each is a
-per-row projection — embarrassingly parallel, no shuffle at any scale.
+per-row projection — embarrassingly parallel, no shuffle at any scale
+(exception: the corpus-level collocation miner at the bottom, whose
+groupBys are partial-agg'd map-side).
 """
 
 from __future__ import annotations
@@ -162,4 +164,93 @@ def fingerprints(
         id_col,
         F.md5(normalized).alias("md5_fp"),
         poly.alias("poly_fp"),
+    )
+
+
+def bigram_pairs(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(term_a, term_b): every ADJACENT whitespace-token pair, one row
+    per occurrence — extracted inside the projection (index arithmetic
+    over the split array), so bigram extraction costs zero shuffle; the
+    window-function alternative (lead() over doc, pos) would shuffle
+    the whole token stream by doc_id first."""
+    ws = _tokens(text_col)
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("term_a"),
+                F.element_at(ws, i + 1).alias("term_b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<term_a:string,term_b:string>>"))
+    return df.select(F.explode(pairs).alias("bg")).select(
+        "bg.term_a", "bg.term_b"
+    )
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by PMI: (term_a, term_b,
+    n_pair, pmi) — the corpus-analytics staple for multi-word
+    expression mining over a training corpus.
+
+    PMI = ln(P(ab) / (P(a)·P(b))) with P(ab) over the adjacent-pair
+    total and P(a), P(b) over the token total; ``min_count`` suppresses
+    the unstable low-frequency tail, ties break on (term_a, term_b).
+    Two partial-agg'd groupBys (pair counts, unigram counts) + one
+    shuffle join of pair rows against the vocab-sized unigram table —
+    every stage map-side combinable; the totals are two scalar
+    aggregates folded in as literals. Rounded to 6 dp (oracle-parity:
+    the DuckDB twin computes the identical expression tree, see
+    ``contract.py``).
+    """
+    ws = _tokens(text_col)
+    tot = df.select(
+        F.sum(F.size(ws)).alias("nt"),
+        F.sum(F.greatest(F.size(ws) - 1, F.lit(0))).alias("np"),
+    ).first()
+    n_tok, n_pairs = float(tot["nt"] or 0), float(tot["np"] or 0)
+    if not n_pairs:
+        return df.sparkSession.createDataFrame(
+            [], "term_a string, term_b string, n_pair long, pmi double"
+        )
+    uni = (
+        df.select(F.explode(ws).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    pairs = (
+        bigram_pairs(df, text_col)
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    pmi = F.log(
+        (F.col("n_pair").cast("double") / F.lit(n_pairs))
+        / (
+            (F.col("c_a").cast("double") / F.lit(n_tok))
+            * (F.col("c_b").cast("double") / F.lit(n_tok))
+        )
+    )
+    return (
+        pairs.join(
+            uni.select(F.col("term").alias("term_a"), F.col("c").alias("c_a")),
+            "term_a",
+        )
+        .join(
+            uni.select(F.col("term").alias("term_b"), F.col("c").alias("c_b")),
+            "term_b",
+        )
+        .select(
+            "term_a", "term_b", "n_pair", F.round(pmi, 6).alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
+        .limit(k)
     )

@@ -231,6 +231,30 @@ def phrase_match(
     )
 
 
+def facet_counts(
+    docs: DataFrame,
+    terms: list[str],
+    facet_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(facet, n_docs): how the docs matching an AND query distribute
+    over a metadata column (lang, source, role …) — the aggregation a
+    search UI's facet sidebar runs next to every result page.
+
+    The match set comes from :func:`docs_with_all` (one scan + one
+    aggregation); the facet join is on the doc-id key and the facet
+    aggregation is a partial-agg'd groupBy — both map-side combinable,
+    nothing driver-bound, at any corpus size.
+    """
+    matches = docs_with_all(docs, terms, text_col, id_col)
+    return (
+        matches.join(docs.select(id_col, facet_col), id_col)
+        .groupBy(facet_col)
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def near_match(
     docs: DataFrame,
     term_a: str,

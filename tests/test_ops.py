@@ -291,3 +291,40 @@ def test_simhash_high_hamming_recall(docs):
         if bin(sk[a] ^ sk[b]).count("1") <= 8
     }
     assert got == expected
+
+
+def test_collocations_pmi(spark):
+    """Hand-computed PMI on a 2-doc corpus: only (a,b) clears
+    min_count=2; PMI = ln(P(ab) / (P(a)P(b)))."""
+    import math
+
+    from search_engine_spark.ops import textstats
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    got = textstats.collocations(df, min_count=2, k=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    # nt=7 tokens, np=5 bigrams, c(a)=3, c(b)=3, n(a,b)=3
+    expect = round(math.log((3 / 5.0) / ((3 / 7.0) * (3 / 7.0))), 6)
+    assert (r["term_a"], r["term_b"], r["n_pair"]) == ("a", "b", 3)
+    assert r["pmi"] == expect
+
+
+def test_collocations_empty_corpus(spark):
+    from search_engine_spark.ops import textstats
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert textstats.collocations(df).collect() == []
+
+
+def test_bigram_pairs_projection_no_shuffle(spark):
+    """Bigram extraction must stay a pure projection (no Exchange)."""
+    from search_engine_spark.ops import textstats
+
+    df = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    plan = textstats.bigram_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = [(r["term_a"], r["term_b"]) for r in textstats.bigram_pairs(df).collect()]
+    assert got == [("x", "y"), ("y", "z")]

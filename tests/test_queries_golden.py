@@ -213,3 +213,18 @@ def test_near_stems_like_any_query(golden_engine):
 
 def test_near_unknown_term(golden_engine):
     assert golden_engine.near_query("test", "zzznope", 5) == []
+
+
+# ---- facets (query-result analytics over docs metadata) ----------------------
+
+def test_facet_counts_by_role(golden_engine):
+    rows = {
+        r["role"]: r["n_docs"]
+        for r in golden_engine.facet_counts("test", "role").collect()
+    }
+    # "test" matches docs 0,1,3,4 with roles user/assistant/user/assistant
+    assert rows == {"user": 2, "assistant": 2}
+
+
+def test_facet_counts_empty_query(golden_engine):
+    assert golden_engine.facet_counts("zzznope", "role").collect() == []
