@@ -1190,6 +1190,54 @@ class TranscriptSearchEngine:
             .agg(F.count("*").cast("long").alias("n_docs"))
         )
 
+    # --------------------------------------------------------------- snippets
+    def search(
+        self,
+        query: str,
+        k: int = DEFAULT_K,
+        window: int = 3,
+        where=None,
+    ) -> list[tuple[int, float, str]]:
+        """Top-k ranked retrieval WITH result snippets: (doc_id, score,
+        ±window words around the first query-term hit). The reference
+        UI ships each hit's whole document (``searchengine.py:85-96``);
+        at transcript scale the excerpt must be computed corpus-side.
+
+        Cost on top of :meth:`ranked_query_df`: one isin-pushed docs
+        lookup and one analyzer pass over exactly k rows — the Arrow
+        UDF re-derives the stemmed positions for those k texts, which
+        stay aligned with the raw whitespace split (the analyzer's
+        ``pos`` is the whitespace-word counter), so the snippet window
+        is a JVM-side ``slice`` of the original words."""
+        from search_engine_spark.functions.udfs import analyze_udf
+
+        stems = sorted(set(self._ranked_terms(query)))
+        if not stems:
+            return []
+        topk = self.ranked_query_df(query, k, where=where)
+        stem_arr = F.array(*[F.lit(s) for s in stems])
+        tks = analyze_udf(F.col("text"))
+        qpos = F.transform(
+            F.filter(tks, lambda t: F.array_contains(stem_arr, t["term"])),
+            lambda t: t["pos"],
+        )
+        first = F.array_min(qpos)  # 0-based whitespace-word index
+        ws = F.split(F.col("text"), r"\s+")
+        start = F.greatest(first + 1 - window, F.lit(1))  # slice is 1-based
+        rows = (
+            topk.join(self.docs.select("doc_id", "text"), "doc_id")
+            .select(
+                "doc_id",
+                "score",
+                F.concat_ws(" ", F.slice(ws, start, 2 * window + 1)).alias(
+                    "snippet"
+                ),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        )
+        return [(r["doc_id"], r["score"], r["snippet"]) for r in rows]
+
     # -------------------------------------------------------------- proximity
     def near_query_df(
         self, word_a: str, word_b: str, max_dist: int = 3

@@ -299,6 +299,50 @@ def near_match(
     return hits.where(pair_ok).select(id_col)
 
 
+#: sentinel "no match" position for the snippet window math (larger
+#: than any real token index)
+_NO_POS = 1 << 40
+
+
+def snippets(
+    docs: DataFrame,
+    terms: list[str],
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, snippet): a ±``window``-token excerpt around the FIRST
+    occurrence of any query term, for every doc containing one — the
+    result-highlighting projection a search UI renders per hit (the
+    reference returns whole documents, ``searchengine.py:85-96``; a
+    10^12-turn corpus needs the excerpt computed corpus-side, not the
+    text shipped).
+
+    Pure per-row expressions (array_position / slice / concat over the
+    token array): no shuffle, no UDF, embarrassingly parallel.
+    """
+    ws = _tokens(text_col)
+    pos_cols = [
+        F.when(F.array_position(ws, F.lit(t)) == 0, F.lit(_NO_POS)).otherwise(
+            F.array_position(ws, F.lit(t))
+        )
+        for t in terms
+    ]
+    first = pos_cols[0] if len(pos_cols) == 1 else F.least(*pos_cols)
+    start = F.greatest(first - window, F.lit(1))
+    return (
+        docs.select(
+            id_col,
+            first.alias("_first"),
+            F.concat_ws(" ", F.slice(ws, start, 2 * window + 1)).alias(
+                "snippet"
+            ),
+        )
+        .where(F.col("_first") < _NO_POS)
+        .select(id_col, "snippet")
+    )
+
+
 def vocab_kgrams(
     docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -228,3 +228,41 @@ def test_facet_counts_by_role(golden_engine):
 
 def test_facet_counts_empty_query(golden_engine):
     assert golden_engine.facet_counts("zzznope", "role").collect() == []
+
+
+# ---- search with snippets -----------------------------------------------------
+
+def test_search_returns_snippets(golden_engine):
+    got = golden_engine.search("test", k=1, window=1)
+    assert len(got) == 1
+    doc_id, score, snippet = got[0]
+    assert doc_id == 3
+    assert score == golden_engine.ranked_query("test", k=1)[0][1]
+    # first hit at word 0 of "Test test! Test test test."
+    assert snippet == "Test test! Test"
+
+
+def test_search_snippet_window_clips_at_end(golden_engine):
+    got = golden_engine.search("here", k=10, window=1)
+    by_id = {d: s for d, _sc, s in got}
+    # doc 1 = "Another testing document is here." — hit at the last word
+    assert by_id[1] == "is here."
+    # doc 2 = "Here we go, a third one." — hit at word 0, 2w+1 = 3 words
+    assert by_id[2] == "Here we go,"
+
+
+def test_search_respects_where(golden_engine):
+    got = golden_engine.search("test", where="role = 'assistant'")
+    assert [d for d, _s, _sn in got] == [4, 1]
+    assert all(sn for _d, _s, sn in got)
+
+
+def test_search_stemmed_hit_snippets_raw_words(golden_engine):
+    # query "testing" stems to "test"; doc 4's raw text keeps "testing"
+    got = golden_engine.search("testing", k=10, window=1)
+    by_id = {d: s for d, _sc, s in got}
+    assert by_id[4] == "Document testing goes"
+
+
+def test_search_no_hits(golden_engine):
+    assert golden_engine.search("zzznope") == []
