@@ -2,3 +2,9 @@ from search_engine_spark.streaming.ingest import (  # noqa: F401
     TRANSCRIPT_SCHEMA,
     start_index_stream,
 )
+from search_engine_spark.streaming.percolate import (  # noqa: F401
+    compile_queries,
+    percolate,
+    percolate_inverted,
+    start_percolator,
+)

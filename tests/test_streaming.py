@@ -226,3 +226,93 @@ def test_stale_reader_survives_append_snapshot_gc(spark, tmp_path):
     )
     assert len(snaps) == 2
     assert old_snapshot not in snaps
+
+
+# ---- standing-query percolation ----------------------------------------------
+
+def test_percolate_matches_engine_boolean(spark, tmp_path, golden_engine):
+    """A percolated match must be exactly an index-then-boolean-query
+    match: same analyzer, same AND semantics."""
+    from search_engine_spark.fixtures import golden_transcripts
+    from search_engine_spark.streaming import percolate, percolate_inverted
+
+    turns = golden_transcripts(spark)
+    queries = {1: "test document", 2: "here", 3: "zzznope"}
+    got = {
+        (r["conv_id"], r["turn_idx"], r["query_id"])
+        for r in percolate(turns, queries).collect()
+    }
+    # map engine doc_ids -> (conv_id, turn_idx)
+    key = {
+        int(r["doc_id"]): (r["conv_id"], r["turn_idx"])
+        for r in golden_engine.docs.collect()
+    }
+    expected = {
+        key[d] + (qid,)
+        for qid, q in queries.items()
+        for d in golden_engine.boolean_query(q)
+    }
+    assert got == expected and got  # non-empty
+    inv = {
+        (r["conv_id"], r["turn_idx"], r["query_id"])
+        for r in percolate_inverted(turns, queries).collect()
+    }
+    assert inv == expected
+
+
+def test_percolator_stream_end_to_end(spark, tmp_path):
+    """availableNow percolation over a landing dir writes the same
+    matches the batch op computes; a second trigger after new files
+    appends ONLY the new matches (file-sink exactly-once)."""
+    import os
+
+    from search_engine_spark.fixtures import synthetic_transcripts
+    from search_engine_spark.streaming import percolate, start_percolator
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("landing", "out", "ckpt"))
+    first = synthetic_transcripts(spark, n_convs=5, turns_per_conv=4)
+    first.write.mode("append").parquet(src)
+    queries = {7: "test", 8: "test here"}
+
+    q = start_percolator(spark, src, queries, out, ckpt)
+    q.awaitTermination()
+    got1 = {
+        tuple(r) for r in spark.read.parquet(out)
+        .select("conv_id", "turn_idx", "query_id").collect()
+    }
+    want1 = {
+        tuple(r) for r in percolate(first, queries)
+        .select("conv_id", "turn_idx", "query_id").collect()
+    }
+    assert got1 == want1 and got1
+
+    from pyspark.sql import functions as F
+
+    second = synthetic_transcripts(spark, n_convs=3, turns_per_conv=4).withColumn(
+        "conv_id", F.concat(F.lit("b2"), F.col("conv_id"))
+    )
+    second.write.mode("append").parquet(src)
+    q = start_percolator(spark, src, queries, out, ckpt)
+    q.awaitTermination()
+    got2 = {
+        tuple(r) for r in spark.read.parquet(out)
+        .select("conv_id", "turn_idx", "query_id").collect()
+    }
+    want2 = want1 | {
+        tuple(r) for r in percolate(second, queries)
+        .select("conv_id", "turn_idx", "query_id").collect()
+    }
+    assert got2 == want2
+    assert len(got2) > len(got1)
+    assert os.path.isdir(ckpt)
+
+
+def test_percolate_compiles_away_unindexable(spark):
+    from search_engine_spark.fixtures import golden_transcripts
+    from search_engine_spark.streaming import compile_queries, percolate
+
+    assert compile_queries({1: "!!! ...", 2: "Testing DOCUMENT"}) == [
+        (2, ["document", "test"])
+    ]
+    out = percolate(golden_transcripts(spark), {1: "%%%"})
+    assert out.collect() == []
