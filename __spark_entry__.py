@@ -10,9 +10,12 @@ Porter2 engine, ANN, and multimodal entries get oracles via
 materialized deterministic inputs (stemmed-tf dump; inlined
 hyperplane / centroid literals; fake-feature dump — each re-derived
 by the same pure-Python/numpy helpers the Spark plans use, see
-``contract.py``), so all 39 entries carry value-level oracles. The catalog
-also covers the curation surface: composed pipeline, PII scan/redact,
-benchmark decontamination, dedup groups, deterministic sampling.
+``contract.py``), so all 45 entries carry value-level oracles. The catalog
+also covers the curation surface (composed pipeline, PII scan/redact,
+benchmark decontamination, dedup groups, deterministic sampling) and
+the round-4 query extensions (NEAR/k proximity, metadata-filtered
+ranked retrieval, facet counts, PMI collocations, snippets,
+standing-query percolation).
 """
 
 from __future__ import annotations
