@@ -109,6 +109,30 @@ class SearchService:
             ),
         }
 
+    # ---- POST /search (extension: snippets instead of whole docs) ---------
+    def search(self, query: str, k: int = 10, window: int = 3) -> dict:
+        """Top-k hits with corpus-side snippets (bounded by construction:
+        k rows, ±window words each — no full-text collect at any corpus
+        size; the scale-safe alternative to /query's contents page)."""
+        assert self.engine is not None, "call buildindex first"
+        hits = self.engine.search(query, k=k, window=window)
+        return {
+            "hits": [
+                {"doc_id": d, "score": s, "snippet": sn} for d, s, sn in hits
+            ]
+        }
+
+    # ---- POST /facets (extension: result distribution over metadata) ------
+    def facets(self, query: str, facet_col: str = "role") -> dict:
+        """Facet-sidebar counts for a boolean query over a docs metadata
+        column. The column name is validated against the docs schema
+        (no expression evaluation of caller input)."""
+        assert self.engine is not None, "call buildindex first"
+        if facet_col not in self.engine.docs.columns:
+            raise ValueError(f"unknown facet column: {facet_col!r}")
+        rows = self.engine.facet_counts(query, facet_col).collect()
+        return {"facets": {r[facet_col]: r["n_docs"] for r in rows}}
+
     # ---- POST /showterms --------------------------------------------------
     def showterms(self) -> dict:
         """Vocab grouped by first letter, empty term dropped

@@ -3,7 +3,11 @@
 Mirrors the reference's jQuery SPA and Flask routes (``index.html``,
 ``index.js:1-235``, ``searchengine.py:109-124``) without external
 dependencies: :class:`http.server.ThreadingHTTPServer` serves the four
-POST endpoints (``/buildindex`` ``/query`` ``/showterms`` ``/stem``)
+reference POST endpoints (``/buildindex`` ``/query`` ``/showterms``
+``/stem``) plus two scale-minded extensions — ``/search`` (top-k with
+corpus-side snippets, bounded at k×window words instead of whole
+documents) and ``/facets`` (result distribution over a docs metadata
+column) —
 plus ``GET /`` returning a self-contained vanilla-JS page with the same
 widgets and flows — corpus input with a Build toggle (``index.js:15-34``),
 term accordion (``index.js:185-215``), boolean/ranked tabs
@@ -278,6 +282,14 @@ class _Handler(BaseHTTPRequestHandler):
                 out = svc.showterms()
             elif self.path == "/stem":
                 out = svc.stem_term(form["term"])
+            elif self.path == "/search":
+                out = svc.search(
+                    form["query"],
+                    k=int(form.get("k", 10)),
+                    window=int(form.get("window", 3)),
+                )
+            elif self.path == "/facets":
+                out = svc.facets(form["query"], form.get("facet_col", "role"))
             else:
                 self._send({"error": "not found"}, status=404)
                 return

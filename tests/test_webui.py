@@ -109,3 +109,33 @@ def test_error_surfaces_as_json_500(ui):
              {"corpus_dir": "/nonexistent/path", "build": "true"})
     assert exc.value.code == 500
     assert "error" in json.loads(exc.value.read())
+
+
+def test_search_endpoint_snippets(ui):
+    base, _ = ui
+    res = post(base, "/search", {"query": "test", "k": 2, "window": 1})
+    hits = res["hits"]
+    assert [h["doc_id"] for h in hits] == [3, 4]
+    assert hits[0]["snippet"] == "Test test! Test"
+    assert all(isinstance(h["score"], float) for h in hits)
+
+
+def test_facets_endpoint(ui):
+    base, _ = ui
+    res = post(base, "/facets", {"query": "test", "facet_col": "role"})
+    assert res["facets"] == {"user": 2, "assistant": 2}
+
+
+def test_facets_rejects_unknown_column(ui):
+    base, _ = ui
+    import urllib.error
+
+    req = urllib.request.Request(
+        base + "/facets",
+        data=urlencode({"query": "test", "facet_col": "nope;drop"}).encode(),
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 500
+    assert "unknown facet column" in json.loads(e.value.read())["error"]
