@@ -171,6 +171,40 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def keywords(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, term, tf_idf, rank): each doc's top-n terms by tf-idf —
+    document tagging / topic labeling for corpus curation, using the
+    engine's own weighting ((1+ln tf) · ln(1 + N/df), Q9's wdt·wqt).
+
+    One tf aggregation, a term-keyed join against the vocab-sized df
+    table, then a per-doc window top-n — ranked by the UNROUNDED score
+    (ties on term asc) so the oracle's ordering is bit-identical; the
+    emitted score is rounded for comparison.
+    """
+    spark = docs.sparkSession
+    n_docs = docs.count()
+    tf = tf_table(docs, text_col, id_col)
+    stats = term_stats(tf).select("term", "df")
+    from pyspark.sql import Window
+
+    score = (F.lit(1.0) + F.log("tf")) * F.log(
+        F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_s"), F.asc("term"))
+    return (
+        tf.join(stats, "term")
+        .select(id_col, "term", score.alias("_s"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= n)
+        .select(id_col, "term", F.round("_s", 6).alias("tf_idf"), "rank")
+    )
+
+
 def docs_with_all(
     docs: DataFrame, terms: list[str], text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -328,3 +328,79 @@ def test_bigram_pairs_projection_no_shuffle(spark):
     assert "Exchange" not in plan
     got = [(r["term_a"], r["term_b"]) for r in textstats.bigram_pairs(df).collect()]
     assert got == [("x", "y"), ("y", "z")]
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Hand-built stream: gaps of exactly gap and gap+1s; same-ts ties
+    break on event_id; sessions number per user independently."""
+    import datetime as dt
+
+    from search_engine_spark.ops import sessions
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: 3 events, second exactly 30 min later (same session),
+        # third 30 min + 1 s (new session)
+        (1, t0, 1),
+        (2, t0 + dt.timedelta(minutes=30), 1),
+        (3, t0 + dt.timedelta(minutes=60, seconds=1), 1),
+        # user 2: duplicate timestamps — order falls back to event_id
+        (4, t0, 2),
+        (5, t0, 2),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = {
+        r["event_id"]: (r["session_seq"], r["session_start"])
+        for r in sessions.sessionize(df, gap_minutes=30).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (2, True),
+        4: (1, True), 5: (1, False),
+    }
+
+    stats = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_secs"])
+        for r in sessions.session_stats(df, 30, value_col=None).collect()
+    }
+    assert stats == {(1, 1): (2, 1800.0), (1, 2): (1, 0.0), (2, 1): (2, 0.0)}
+
+
+def test_session_stats_single_shuffle(spark):
+    """The rollup groups on the window's partitioning prefix — exactly
+    ONE Exchange in the whole plan."""
+    import datetime as dt
+
+    from search_engine_spark.ops import sessions
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1), 1, 1.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    plan = (
+        sessions.session_stats(df, 30)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+
+
+def test_keywords_ranking(spark):
+    """Rarer terms outrank common ones; rank caps at n; ties on term."""
+    import math
+
+    from search_engine_spark import simple
+
+    df = spark.createDataFrame(
+        [(0, "common rare common"), (1, "common other")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf_idf"])
+        for r in simple.keywords(df, n=2).collect()
+    }
+    # doc 0: common's tf=2 outweighs rare's idf here —
+    # (1+ln 2)·ln 2 = 1.1736 > (1+ln 1)·ln 3 = 1.0986
+    s_rare = round((1 + math.log(1)) * math.log(1 + 2 / 1), 6)
+    s_common = round((1 + math.log(2)) * math.log(1 + 2 / 2), 6)
+    assert got[(0, 1)] == ("common", s_common)
+    assert got[(0, 2)] == ("rare", s_rare)
+    assert got[(1, 1)][0] == "other"
+    assert len(got) == 4
