@@ -63,6 +63,7 @@ def main() -> None:
         dedup,
         pii,
         sampling,
+        sessions,
         similarity,
         textstats,
     )
@@ -77,8 +78,10 @@ def main() -> None:
     )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
     docs.persist().count()
     emb.persist().count()
+    events.persist().count()
 
     repeats: dict[str, list[float]] = {}
 
@@ -193,6 +196,13 @@ def main() -> None:
             .count(),
         ),
         ("embed_topk", lambda: similarity.cosine_topk(emb, qv, 10).collect()),
+        (
+            "sessionize",
+            lambda: sessions.session_stats(events, gap_minutes=1440)
+            .agg(F.sum("n_events"))
+            .collect(),
+        ),
+        ("keywords_top3", lambda: simple.keywords(docs, n=3).count()),
         (
             "text_stats",
             lambda: textstats.quality_scores(docs)

@@ -74,3 +74,52 @@ def session_stats(
     if value_col is not None:
         aggs.append(F.round(F.sum(value_col), 6).alias("total_value"))
     return s.groupBy(user_col, "session_seq").agg(*aggs)
+
+
+def rolling_activity(
+    events: DataFrame,
+    days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Input events + ``n_trailing``: how many events this user emitted
+    in the trailing ``days`` window INCLUDING this one — burst/abuse
+    detection and engagement features. A RANGE-frame window over exact
+    integer microseconds: the same single user-partitioned shuffle as
+    :func:`sessionize`, with Spark maintaining the sliding frame in one
+    pass per partition (no self-join, no per-event scan)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    span = days * 86_400 * 1_000_000
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(us)
+        .rangeBetween(-span, Window.currentRow)
+    )
+    return events.select(
+        "*", F.count("*").over(w).cast("long").alias("n_trailing")
+    )
+
+
+def value_quantiles(
+    events: DataFrame,
+    probs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group value quantiles (p50/p95/p99 …), linear interpolation.
+
+    Uses EXACT ``percentile`` — one shuffle, but the final aggregation
+    buffers each group's values, which is fine for bounded-cardinality
+    metric columns and oracle checking. For a 10^12-event column swap
+    in ``approx_percentile(value, p, accuracy)`` (t-digest-style
+    mergeable sketch, bounded memory, same plan shape) and accept the
+    documented error bound — the approximation is the scale path, the
+    exact form is the verifiable one.
+    """
+    aggs = [
+        F.round(
+            F.expr(f"percentile({value_col}, {p})"), 6
+        ).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return events.groupBy(group_col).agg(*aggs)

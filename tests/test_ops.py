@@ -404,3 +404,35 @@ def test_keywords_ranking(spark):
     assert got[(0, 2)] == ("rare", s_rare)
     assert got[(1, 1)][0] == "other"
     assert len(got) == 4
+
+
+def test_rolling_activity_window(spark):
+    import datetime as dt
+
+    from search_engine_spark.ops import sessions
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 1),
+        (2, t0 + dt.timedelta(days=3), 1),
+        (3, t0 + dt.timedelta(days=7), 1),  # day-0 event exactly 7d back: inside
+        (4, t0 + dt.timedelta(days=10, seconds=1), 1),  # day-3 is 7d1s back: out
+        (5, t0, 2),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = {
+        r["event_id"]: r["n_trailing"]
+        for r in sessions.rolling_activity(df, days=7).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3, 4: 2, 5: 1}
+
+
+def test_value_quantiles_interpolation(spark):
+    from search_engine_spark.ops import sessions
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 5)],  # 1,2,3,4
+        "event_type string, value double",
+    )
+    r = sessions.value_quantiles(df, probs=(0.5,)).first()
+    assert r["p50"] == 2.5  # linear interpolation between 2 and 3
