@@ -436,3 +436,31 @@ def test_value_quantiles_interpolation(spark):
     )
     r = sessions.value_quantiles(df, probs=(0.5,)).first()
     assert r["p50"] == 2.5  # linear interpolation between 2 and 3
+
+
+def test_pack_texts_windows(spark):
+    """Budget=5: group g's token stream (3,3,3) cuts at fixed offsets
+    0/5/10 -> windows [a,b] (prev-sums 0,3) and [c] (prev-sum 6);
+    an over-budget row still gets its own window."""
+    from search_engine_spark.ops import packing
+
+    rows = [
+        ("g", 0, "a1 a2 a3"),
+        ("g", 1, "b1 b2 b3"),
+        ("g", 2, "c1 c2 c3"),
+        ("h", 0, "x1 x2 x3 x4 x5 x6 x7"),  # 7 > budget
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {
+        (r["group_id"], r["window_idx"]): (r["text"], r["n_tokens"], r["n_rows"])
+        for r in packing.pack_texts(df, budget_tokens=5).collect()
+    }
+    assert got == {
+        ("g", 0): ("a1 a2 a3\nb1 b2 b3", 6, 2),
+        ("g", 1): ("c1 c2 c3", 3, 1),
+        ("h", 0): ("x1 x2 x3 x4 x5 x6 x7", 7, 1),
+    }
+    plan = (
+        packing.pack_texts(df, 5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # rollup reuses the window's shuffle
