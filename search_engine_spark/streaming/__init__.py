@@ -3,8 +3,10 @@ from search_engine_spark.streaming.ingest import (  # noqa: F401
     start_index_stream,
 )
 from search_engine_spark.streaming.percolate import (  # noqa: F401
+    alert_rates,
     compile_queries,
     percolate,
     percolate_inverted,
+    start_alert_stream,
     start_percolator,
 )

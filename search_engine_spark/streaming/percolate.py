@@ -155,3 +155,78 @@ def start_percolator(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def alert_rates(
+    matches: DataFrame,
+    window_duration: str = "5 minutes",
+    watermark_delay: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Windowed alert counts per standing query: (window_start,
+    window_end, query_id, n_matches) — the live-dashboard rate feed on
+    top of :func:`percolate`'s match stream.
+
+    Under ``readStream`` this is the canonical watermark + windowed
+    aggregation: the watermark bounds how late a turn may arrive and
+    still count (state for a window is dropped once the watermark
+    passes its end, so state size stays O(open windows x queries) at
+    any stream length), and append mode emits each window exactly once
+    when it closes. IMPORTANT: the watermark belongs on the SOURCE
+    stream, before percolation filters it (``start_alert_stream`` does
+    this) — event-time stats are collected at the watermark node, and
+    a post-filter watermark would only advance on MATCHING turns,
+    leaving a quiet query's windows open forever. Pass
+    ``watermark_delay`` only when ``matches`` is an unwatermarked
+    stream. On a batch DataFrame the same plan just aggregates, so
+    batch backfill and the live stream share one definition.
+    """
+    w = (
+        matches.withWatermark(ts_col, watermark_delay)
+        if watermark_delay is not None and matches.isStreaming
+        else matches
+    )
+    return (
+        w.groupBy(F.window(ts_col, window_duration).alias("win"), "query_id")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "query_id",
+            "n_matches",
+        )
+    )
+
+
+def start_alert_stream(
+    spark: SparkSession,
+    source_dir: str,
+    queries: dict[int, str],
+    output_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+    schema: str = TRANSCRIPT_SCHEMA,
+    available_now: bool = True,
+):
+    """Landing dir -> percolate -> watermarked windowed counts ->
+    append-only parquet. Each window row is written exactly once, when
+    the watermark closes the window; turns later than the watermark
+    delay are dropped by design (the documented lateness contract)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark_delay)  # BEFORE the filter: every
+        # turn advances event time, so windows close on stream progress,
+        # not only when a query happens to match (alert_rates docstring)
+    )
+    rates = alert_rates(percolate(stream, queries), window_duration)
+    writer = (
+        rates.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

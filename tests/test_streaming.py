@@ -316,3 +316,49 @@ def test_percolate_compiles_away_unindexable(spark):
     ]
     out = percolate(golden_transcripts(spark), {1: "%%%"})
     assert out.collect() == []
+
+
+def test_alert_stream_watermarked_windows(spark, tmp_path):
+    """Watermarked windowed alert rates: windows emit exactly once when
+    the watermark (max event time - delay) passes their end, and a
+    turn arriving later than the watermark is dropped, not re-counted."""
+    import datetime as dt
+
+    from search_engine_spark.streaming import alert_rates, percolate, start_alert_stream
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("landing", "out", "ckpt"))
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [
+            (f"c{i}", 0, "user", text, "", t0 + dt.timedelta(minutes=m))
+            for i, (m, text) in enumerate(rows)
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    queries = {7: "test"}
+    win, delay = "5 minutes", "10 minutes"
+
+    # batch 1: two matches in window [0,5), one in [5,10), plus a
+    # watermark advancer at minute 30 (watermark -> 00:20 closes both)
+    batch1 = mk([(1, "a test"), (2, "test b"), (6, "test c"), (30, "nothing here")])
+    batch1.write.mode("append").parquet(src)
+    start_alert_stream(spark, src, queries, out, ckpt, win, delay).awaitTermination()
+
+    # trigger 2 processes an advancer + a LATE match at minute 2 (its
+    # window already closed -> must be dropped) and emits batch 1's windows
+    mk([(120, "test later"), (2, "late test")]).write.mode("append").parquet(src)
+    start_alert_stream(spark, src, queries, out, ckpt, win, delay).awaitTermination()
+
+    got = {
+        (r["window_start"].minute, r["query_id"]): r["n_matches"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(0, 7)] == 2  # the late minute-2 match did NOT inflate this
+    assert got[(5, 7)] == 1
+
+    # batch backfill: the same definition aggregates the full data
+    batch_counts = {
+        (r["window_start"].minute, r["query_id"]): r["n_matches"]
+        for r in alert_rates(percolate(batch1, queries), win, delay).collect()
+    }
+    assert batch_counts[(0, 7)] == 2 and batch_counts[(5, 7)] == 1
