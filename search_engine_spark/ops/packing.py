@@ -17,7 +17,10 @@ One shuffle by group for the running-sum window; the window
 aggregation groups on (group, window_idx) — a superset of the window's
 partitioning key, so no second exchange. Rows longer than the budget
 get a window of their own (truncation policy belongs to the tokenizer
-stage, not the packer).
+stage, not the packer). Like any ordered-per-group operator, one
+group's rows must colocate: a pathologically long conversation is one
+task — pre-split such groups upstream (e.g. on day boundaries) if a
+single group can exceed a partition.
 """
 
 from __future__ import annotations

@@ -184,7 +184,10 @@ def keywords(
     One tf aggregation, a term-keyed join against the vocab-sized df
     table, then a per-doc window top-n — ranked by the UNROUNDED score
     (ties on term asc) so the oracle's ordering is bit-identical; the
-    emitted score is rounded for comparison.
+    emitted score is rounded for comparison. Costs two shuffles of the
+    tf stream (the (term, doc) aggregation, then the per-doc window) —
+    inherent to ranking within docs from term-keyed statistics; window
+    groups are bounded by document length, so no skew concern.
     """
     spark = docs.sparkSession
     n_docs = docs.count()
