@@ -1174,6 +1174,21 @@ class TranscriptSearchEngine:
             _block_phrase(n, self.block_span), "doc_id long"
         )
 
+    # -------------------------------------------------------------- exclusion
+    def boolean_query_not(self, query: str, exclude: str) -> list[int]:
+        """Docs matching ``query`` but NOT ``exclude`` (both in the
+        reference's boolean grammar) — the AND-NOT the reference's
+        grammar lacks, kept as a separate method so its query-string
+        parsing stays reference-identical (a ``-`` inside a query word
+        is corpus text there, not an operator). Executed as a
+        left-anti join of the two doc-set plans: both sides stay
+        per-block pruned scans, the anti join is the standard
+        distributed set difference, nothing new reaches the driver."""
+        inc = self.boolean_query_df(query)
+        exc = self.boolean_query_df(exclude)
+        df = inc.join(exc, "doc_id", "left_anti").orderBy("doc_id")
+        return [int(x) for x in df.toPandas()["doc_id"].to_numpy()]
+
     # ----------------------------------------------------------------- facets
     def facet_counts(self, query: str, facet_col: str) -> DataFrame:
         """(facet, n_docs): distribution of a boolean query's matches

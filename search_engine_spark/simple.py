@@ -243,6 +243,22 @@ def boolean_or_of_ands(
     return reduce(DataFrame.union, parts).distinct()
 
 
+def boolean_and_not(
+    docs: DataFrame,
+    include_terms: list[str],
+    exclude_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs containing ALL include terms and NONE of the exclude terms
+    (AND-NOT — the exclusion operator the reference grammar lacks):
+    left-anti join of the two doc sets, the distributed set
+    difference."""
+    inc = docs_with_all(docs, include_terms, text_col, id_col)
+    exc = docs_with_any(docs, exclude_terms, text_col, id_col)
+    return inc.join(exc, id_col, "left_anti")
+
+
 def phrase_match(
     docs: DataFrame, phrase_terms: list[str], text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

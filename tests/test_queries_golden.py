@@ -266,3 +266,10 @@ def test_search_stemmed_hit_snippets_raw_words(golden_engine):
 
 def test_search_no_hits(golden_engine):
     assert golden_engine.search("zzznope") == []
+
+
+def test_boolean_query_not(golden_engine):
+    # "test" -> [0,1,3,4]; "here" -> [1,2,4]; difference -> [0,3]
+    assert golden_engine.boolean_query_not("test", "here") == [0, 3]
+    assert golden_engine.boolean_query_not("test", "zzznope") == [0, 1, 3, 4]
+    assert golden_engine.boolean_query_not("zzznope", "test") == []
