@@ -2,6 +2,9 @@ from search_engine_spark.streaming.ingest import (  # noqa: F401
     TRANSCRIPT_SCHEMA,
     start_index_stream,
 )
+from search_engine_spark.streaming.sessions import (  # noqa: F401
+    streaming_sessionize,
+)
 from search_engine_spark.streaming.percolate import (  # noqa: F401
     alert_rates,
     compile_queries,

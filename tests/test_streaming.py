@@ -362,3 +362,85 @@ def test_alert_stream_watermarked_windows(spark, tmp_path):
         for r in alert_rates(percolate(batch1, queries), win, delay).collect()
     }
     assert batch_counts[(0, 7)] == 2 and batch_counts[(5, 7)] == 1
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): sessions
+    close exactly once — by a later event proving the gap, or by the
+    event-time timeout when the watermark passes last_ts + gap — and
+    the boundaries equal the batch sessionize's on the same data."""
+    import datetime as dt
+
+    from search_engine_spark.ops import sessions as batch_sessions
+    from search_engine_spark.streaming import streaming_sessionize
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("landing", "out", "ckpt"))
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(i, t0 + dt.timedelta(minutes=m), u) for i, (u, m) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long",
+    )
+
+    def run():
+        q = (
+            streaming_sessionize(
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long"
+                ).parquet(src),
+                gap_minutes=30,
+                watermark_delay="0 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # user 1: session A (00:00, 00:02) closed IN-BATCH by the 01:00
+    # event; session B (01:00) times out once the watermark (driven by
+    # user 99's 02:00 event) passes 01:30
+    batch1 = mk([(1, 0), (1, 2), (1, 60), (99, 120)])
+    batch1.write.mode("append").parquet(src)
+    run()
+    got1 = {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start"], r["session_end"], r["n_events"]
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1[(1, 1)] == (t0, t0 + dt.timedelta(minutes=2), 2)
+    assert got1[(1, 2)] == (
+        t0 + dt.timedelta(minutes=60), t0 + dt.timedelta(minutes=60), 1
+    )
+    assert (99, 1) not in got1  # due 02:30 > watermark 02:00: still open
+
+    # trigger 2: a later advancer times user 99's session out; its own
+    # session stays open (due 04:30 > watermark 04:00)
+    mk([(98, 240)]).write.mode("append").parquet(src)
+    run()
+    got2 = {
+        (r["user_id"], r["session_seq"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (99, 1) in got2 and (98, 1) not in got2
+    assert len(got2) == 3  # nothing emitted twice
+
+    # streaming boundaries == batch sessionize on the CLOSED sessions
+    batch = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["duration_secs"]
+        )
+        for r in batch_sessions.session_stats(batch1, 30, value_col=None).collect()
+    }
+    stream_rows = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"],
+            (r["session_end"] - r["session_start"]).total_seconds(),
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    for k, v in stream_rows.items():
+        assert batch[k] == v, k
