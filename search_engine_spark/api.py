@@ -133,6 +133,13 @@ class SearchService:
         rows = self.engine.facet_counts(query, facet_col).collect()
         return {"facets": {r[facet_col]: r["n_docs"] for r in rows}}
 
+    # ---- POST /suggest (extension: search-box autocomplete) ---------------
+    def suggest(self, prefix: str, k: int = 10) -> dict:
+        """Top-k prefix completions from the term dictionary — a
+        pushdown-pruned prefix scan, k rows to the driver."""
+        assert self.engine is not None, "call buildindex first"
+        return {"suggestions": self.engine.suggest(prefix, k=k)}
+
     # ---- POST /showterms --------------------------------------------------
     def showterms(self) -> dict:
         """Vocab grouped by first letter, empty term dropped

@@ -1174,6 +1174,31 @@ class TranscriptSearchEngine:
             _block_phrase(n, self.block_span), "doc_id long"
         )
 
+    # ------------------------------------------------------------ autocomplete
+    def suggest(self, prefix: str, k: int = 10) -> list[str]:
+        """Top-k query completions for a prefix, most-frequent first
+        (df desc, term asc) — the search-box autocomplete. A prefix
+        scan of the term dictionary: ``startswith`` pushes to the
+        Parquet reader as a ``StringStartsWith`` filter, and the
+        dictionary files are term-sorted, so row-group min/max stats
+        skip everything outside the prefix range — O(prefix range),
+        not O(vocabulary), same storage-pruning story as term lookups
+        (Q3). The prefix is lowercased/specials-stripped but NOT
+        stemmed (stemming a partial word would mangle it); completions
+        are dictionary TERMS — stems, the same vocabulary the
+        reference's showterms exposes."""
+        p = remove_special_characters(prefix.lower())
+        if not p:
+            return []
+        rows = (
+            self.terms.where(F.col("term").startswith(p))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+            .select("term")
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
     # -------------------------------------------------------------- exclusion
     def boolean_query_not(self, query: str, exclude: str) -> list[int]:
         """Docs matching ``query`` but NOT ``exclude`` (both in the

@@ -308,6 +308,25 @@ def facet_counts(
     )
 
 
+def suggest(
+    docs: DataFrame,
+    prefix: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(term, df): top-k prefix completions by document frequency
+    (df desc, term asc) — search-box autocomplete over the term
+    dictionary."""
+    stats = term_stats(tf_table(docs, text_col, id_col))
+    return (
+        stats.where(F.col("term").startswith(prefix))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def near_match(
     docs: DataFrame,
     term_a: str,

@@ -4,10 +4,11 @@ Mirrors the reference's jQuery SPA and Flask routes (``index.html``,
 ``index.js:1-235``, ``searchengine.py:109-124``) without external
 dependencies: :class:`http.server.ThreadingHTTPServer` serves the four
 reference POST endpoints (``/buildindex`` ``/query`` ``/showterms``
-``/stem``) plus two scale-minded extensions — ``/search`` (top-k with
-corpus-side snippets, bounded at k×window words instead of whole
-documents) and ``/facets`` (result distribution over a docs metadata
-column) —
+``/stem``) plus three scale-minded extensions — ``/search`` (top-k
+with corpus-side snippets, bounded at k×window words instead of whole
+documents), ``/facets`` (result distribution over a docs metadata
+column), and ``/suggest`` (prefix autocomplete from a pushdown-pruned
+dictionary scan) —
 plus ``GET /`` returning a self-contained vanilla-JS page with the same
 widgets and flows — corpus input with a Build toggle (``index.js:15-34``),
 term accordion (``index.js:185-215``), boolean/ranked tabs
@@ -290,6 +291,8 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             elif self.path == "/facets":
                 out = svc.facets(form["query"], form.get("facet_col", "role"))
+            elif self.path == "/suggest":
+                out = svc.suggest(form["prefix"], k=int(form.get("k", 10)))
             else:
                 self._send({"error": "not found"}, status=404)
                 return

@@ -273,3 +273,11 @@ def test_boolean_query_not(golden_engine):
     assert golden_engine.boolean_query_not("test", "here") == [0, 3]
     assert golden_engine.boolean_query_not("test", "zzznope") == [0, 1, 3, 4]
     assert golden_engine.boolean_query_not("zzznope", "test") == []
+
+
+def test_suggest_prefix(golden_engine):
+    # t-terms by df: test (4 docs), then third/this (1 doc each, term asc)
+    assert golden_engine.suggest("t", 3) == ["test", "third", "this"]
+    assert golden_engine.suggest("TE!", 5) == ["test"]  # case/specials
+    assert golden_engine.suggest("zz") == []
+    assert golden_engine.suggest("###") == []

@@ -139,3 +139,9 @@ def test_facets_rejects_unknown_column(ui):
         urllib.request.urlopen(req, timeout=60)
     assert e.value.code == 500
     assert "unknown facet column" in json.loads(e.value.read())["error"]
+
+
+def test_suggest_endpoint(ui):
+    base, _ = ui
+    res = post(base, "/suggest", {"prefix": "t", "k": 2})
+    assert res["suggestions"] == ["test", "third"]
