@@ -2,6 +2,7 @@ from search_engine_spark.streaming.ingest import (  # noqa: F401
     TRANSCRIPT_SCHEMA,
     start_index_stream,
 )
+from search_engine_spark.streaming.dedup import dedup_stream  # noqa: F401
 from search_engine_spark.streaming.sessions import (  # noqa: F401
     streaming_sessionize,
 )

@@ -444,3 +444,63 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     }
     for k, v in stream_rows.items():
         assert batch[k] == v, k
+
+
+def test_dedup_stream(spark, tmp_path):
+    """Bounded-window streaming exact-dedup: repeats inside the
+    watermark horizon are dropped across micro-batches (first
+    occurrence wins); whitespace-only variants share a fingerprint."""
+    import datetime as dt
+
+    from search_engine_spark.streaming import dedup_stream
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("landing", "out", "ckpt"))
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [
+            (f"c{i}", 0, "user", text, "", t0 + dt.timedelta(minutes=m))
+            for i, (m, text) in enumerate(rows)
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+    def run():
+        q = (
+            dedup_stream(
+                spark.readStream.schema(
+                    "conv_id string, turn_idx int, role string, text string, "
+                    "tool string, ts timestamp"
+                ).parquet(src),
+                watermark_delay="1 hour",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    mk([(0, "hello world"), (1, "hello   world"), (2, "fresh text")]).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    texts1 = sorted(
+        r["text"] for r in spark.read.parquet(out).select("text").collect()
+    )
+    assert len(texts1) == 2  # the whitespace variant deduped
+    assert "fresh text" in texts1
+
+    # a repeat in a LATER batch, still inside the horizon, is dropped;
+    # new content passes
+    mk([(10, "hello world"), (11, "another one")]).write.mode("append").parquet(src)
+    run()
+    texts2 = sorted(
+        r["text"] for r in spark.read.parquet(out).select("text").collect()
+    )
+    assert len(texts2) == 3 and "another one" in texts2
+
+    # batch mode: global dedup
+    batch = dedup_stream(mk([(0, "a b"), (1, "a  b"), (2, "c")]))
+    assert batch.count() == 2
