@@ -464,3 +464,26 @@ def test_pack_texts_windows(spark):
         packing.pack_texts(df, 5)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1  # rollup reuses the window's shuffle
+
+
+def test_write_training_shards(spark, tmp_path):
+    """Sharded gzip JSONL export: row count from the write job's own
+    Observation, maxRecordsPerFile bounds shard size, round-trip
+    preserves content."""
+    import glob
+
+    from search_engine_spark.ops import export
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+    ).repartition(2)
+    out = str(tmp_path / "shards")
+    n = export.write_training_shards(
+        df, out, max_records_per_file=30, order_col="doc_id"
+    )
+    assert n == 100
+    files = glob.glob(f"{out}/*.json.gz")
+    assert len(files) >= 4  # 2 partitions x ceil(50/30) shards
+    back = spark.read.json(out)
+    assert back.count() == 100
+    assert {r["doc_id"] for r in back.collect()} == set(range(100))
