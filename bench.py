@@ -148,6 +148,11 @@ def main() -> None:
             lambda: eng.ranked_query("spark join fast", where=ts_pred),
         ),
         ("wildcard_ranked", lambda: eng.ranked_query("s*m query")),
+        (
+            "conv_ranked",
+            lambda: eng.ranked_conversations("spark join fast", k=10),
+        ),
+        ("more_like_this", lambda: eng.more_like_this(3, k=10)),
         # ---- simple-analyzer relational path ----
         ("tf_table_agg", lambda: simple.tf_table(docs).count()),
         (

@@ -140,6 +140,15 @@ class SearchService:
         assert self.engine is not None, "call buildindex first"
         return {"suggestions": self.engine.suggest(prefix, k=k)}
 
+    # ---- delete (no reference endpoint; the takedown path) ----------------
+    def delete(self, doc_ids) -> dict:
+        """Tombstone-delete docs from the open index — list of ids or a
+        DataFrame with a ``doc_id`` column (see
+        :meth:`TranscriptSearchEngine.delete`). Queries mask the ids
+        immediately; run ``compact()`` to physically purge."""
+        assert self.engine is not None, "buildindex first"
+        return self.engine.delete(doc_ids)
+
     # ---- POST /showterms --------------------------------------------------
     def showterms(self) -> dict:
         """Vocab grouped by first letter, empty term dropped

@@ -386,6 +386,61 @@ def _merge_segments(pdf):
     )
 
 
+def _purge_block_cells(cells, tomb):
+    """``cogroup().applyInPandas`` worker for the compaction purge: the
+    left side is one doc-range block's (term, block) posting cells, the
+    right side is the block's tombstoned doc_ids. Each cell is decoded,
+    the deleted postings dropped, and the survivors re-encoded with
+    freshly computed block metadata (df_block, first/last, max_tf,
+    min_dl, sum_tf, max_partial) — a cell whose postings are all
+    deleted vanishes. Blocks partition the doc space, so each worker
+    sees exactly the tombstones that can touch its cells and the purge
+    is embarrassingly parallel across blocks."""
+    import pandas as pd
+
+    from search_engine_spark.functions import codec
+
+    if len(cells) == 0:
+        return cells
+    if len(tomb) == 0:
+        return cells
+    deleted = np.sort(tomb["doc_id"].to_numpy())
+    out: dict[str, list] = {name: [] for name in cells.columns}
+    for _, row in cells.iterrows():
+        d, t = codec.decode_postings(bytes(row["postings_bin"]))
+        keep = ~np.isin(d, deleted)
+        if not keep.any():
+            continue
+        if keep.all():
+            for name in cells.columns:
+                out[name].append(row[name])
+            continue
+        flat = codec.decode_positions_flat(bytes(row["positions_bin"]), t)
+        flat2 = flat[np.repeat(keep, t)]
+        d2, t2 = d[keep], t[keep]
+        w2 = np.frombuffer(bytes(row["weights_bin"]), dtype="<f8")[keep]
+        dl2 = codec.vb_decode(bytes(row["doclens_bin"]))[keep]
+        vals = {
+            "term": row["term"],
+            "block_id": row["block_id"],
+            "df_block": int(d2.size),
+            "first_doc_id": int(d2[0]),
+            "last_doc_id": int(d2[-1]),
+            "max_tf": int(t2.max()),
+            "min_dl": int(dl2.min()),
+            "sum_tf": int(t2.sum()),
+            "max_partial": float(np.max((1.0 + np.log(t2)) / w2)),
+            "postings_bin": codec.encode_postings(d2, t2),
+            "weights_bin": np.ascontiguousarray(w2, dtype="<f8").tobytes(),
+            "positions_bin": codec.encode_positions(t2, flat2),
+            "doclens_bin": codec.vb_encode(dl2),
+            "bucket": row["bucket"],
+        }
+        for name in cells.columns:
+            out[name].append(vals[name])
+    return pd.DataFrame(out, columns=list(cells.columns))
+
+
 class IndexBuilder:
     """Builds the on-disk index: docs, doc_stats, postings, terms, kgrams."""
 
@@ -744,6 +799,21 @@ class IndexBuilder:
         * kgrams / vocab: deduplicated;
         * manifest: reset to a single consolidated entry.
 
+        When the index carries tombstones (:meth:`delete`), compaction
+        additionally PURGES them — Lucene's merge-time reclaim: deleted
+        rows drop out of docs/doc_stats, affected posting cells are
+        decoded/filtered/re-encoded per block (untouched blocks pass
+        through byte-identical), a fresh terms snapshot recomputes df/cf
+        from the surviving postings, and num_docs/total_tokens shrink to
+        the live corpus — so the stats-staleness window of logical
+        deletes closes here. ``next_doc_id`` is NOT reduced: doc ids
+        are never reused, so old tombstones can never resurrect onto a
+        future append. The unstemmed vocab/kgram tables keep a superset
+        of the live corpus's words (re-deriving them would re-analyze
+        every surviving doc); a wildcard expanding to a fully-purged
+        word finds df=0 and contributes nothing, matching the
+        reference's behavior for any vocab word with no postings.
+
         Commit discipline: every rewrite lands under fresh
         ``<table>_c<generation>`` directories; nothing is visible until
         the single atomic ``_meta.json`` write flips the map
@@ -758,10 +828,43 @@ class IndexBuilder:
         gen = meta.get("compactions", 0) + 1
         new = {logical: f"{logical}_c{gen:04d}" for logical in DEFAULT_TABLES}
         old_tables = dict(self.tables)
+        old_tomb_name = meta.get("tombstones_table")
+        tomb = (
+            spark.read.parquet(self._p(old_tomb_name))
+            if old_tomb_name
+            else None
+        )
 
-        # docs: vacuum orphans, preserve ids, range-layout for locality
+        # doc_stats -> one purged chunk; the write's own Observation
+        # yields the live count and token total (no read-back scan)
+        stats = spark.read.parquet(self._t("doc_stats")).drop("chunk")
+        if tomb is not None:
+            stats = stats.join(tomb.select("doc_id"), "doc_id", "left_anti")
+        obs = Observation()
+        (
+            stats.repartitionByRange(self.write_partitions, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n_live"),
+                F.coalesce(F.sum("doc_len"), F.lit(0)).alias("tokens"),
+            )
+            .write.mode("overwrite")
+            .parquet(self._p(new["doc_stats"], "chunk=0"))
+        )
+        self._ensure_readable(
+            self._p(new["doc_stats"], "chunk=0"),
+            "doc_id long, weight double, doc_len long, n_terms long",
+        )
+        num_docs = int(obs.get["n_live"])
+        total_tokens = int(obs.get["tokens"])
+
+        # docs: vacuum orphans AND tombstoned rows (the purged
+        # doc_stats is the live-id set), preserve ids, range-layout
         docs = spark.read.parquet(self._t("docs"))
-        live_ids = spark.read.parquet(self._t("doc_stats")).select("doc_id")
+        live_ids = spark.read.parquet(
+            self._p(new["doc_stats"], "chunk=0")
+        ).select("doc_id")
         live = docs.join(live_ids, "doc_id", "left_semi")
         n_docs_before = docs.count()
         (
@@ -772,25 +875,35 @@ class IndexBuilder:
         )
         self._ensure_readable(self._p(new["docs"]), docs.schema)
 
-        # doc_stats -> one chunk
-        stats = spark.read.parquet(self._t("doc_stats")).drop("chunk")
-        (
-            stats.repartitionByRange(self.write_partitions, "doc_id")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(self._p(new["doc_stats"], "chunk=0"))
-        )
-        self._ensure_readable(
-            self._p(new["doc_stats"], "chunk=0"),
-            "doc_id long, weight double, doc_len long, n_terms long",
-        )
-
         # postings -> one chunk, same fused bucket-major exchange as the
         # build; keys are unique across chunks so the merge worker just
         # sorts and passes rows through into few term-sorted files
         sub_slots = max(1, (4 * self.write_partitions) // self.term_buckets)
         postings = spark.read.parquet(self._t("postings")).drop("chunk")
         posting_files_before = len(postings.inputFiles())
+        # pin the column order BEFORE any join: joining on "block_id"
+        # promotes the key to the front, and the merge worker's
+        # pass-through batches must match the declared Arrow schema
+        field_order = [f.name for f in postings.schema.fields]
+        if tomb is not None:
+            # purge tombstoned postings: only blocks that actually
+            # contain a deleted doc are decoded/re-encoded (cogrouped
+            # with their block's tombstones); every other block passes
+            # through byte-identical. The tombstone block list is tiny
+            # relative to the index, so the semi/anti split broadcasts.
+            tomb_blocks = tomb.select("block_id").distinct()
+            affected = postings.join(
+                F.broadcast(tomb_blocks), "block_id", "left_semi"
+            )
+            untouched = postings.join(
+                F.broadcast(tomb_blocks), "block_id", "left_anti"
+            )
+            purged = (
+                affected.groupBy("block_id")
+                .cogroup(tomb.groupBy("block_id"))
+                .applyInPandas(_purge_block_cells, POSTINGS_BUCKETED_SCHEMA)
+            )
+            postings = untouched.unionByName(purged)
         (
             postings.withColumn(
                 "pid",
@@ -799,7 +912,7 @@ class IndexBuilder:
             )
             .repartition(self.write_partitions, "pid")
             .drop("pid")
-            .select(*[f.name for f in postings.schema.fields])
+            .select(*field_order)
             .mapInArrow(_merge_sorted_partition, POSTINGS_BUCKETED_SCHEMA)
             .write.mode("overwrite")
             .partitionBy("bucket")
@@ -828,6 +941,21 @@ class IndexBuilder:
         vb.write.mode("overwrite").parquet(self._p(new["vocab"]))
         self._ensure_readable(self._p(new["vocab"]), "word string, n_grams int")
 
+        # purge closes the stats-staleness window: a fresh dictionary
+        # snapshot recomputes df/cf from the SURVIVING postings (same
+        # aggregation as a fresh build's finalize)
+        terms_name = meta["terms_table"]
+        terms_seq = meta.get("terms_seq", meta["n_chunks"])
+        if tomb is not None:
+            new_postings = spark.read.parquet(self._p(new["postings"]))
+            terms = new_postings.groupBy("term").agg(
+                F.sum("df_block").cast("long").alias("df"),
+                F.sum("sum_tf").cast("long").alias("cf"),
+            )
+            terms_seq += 1
+            terms_name = f"terms_v{terms_seq:06d}"
+            self._write_terms(terms, terms_name, num_docs)
+
         # manifest: single consolidated entry (chunk 0, already final)
         fsio.mkdirs(self.spark, self._p(new["manifest"]))
         fsio.write_json_atomic(
@@ -836,8 +964,9 @@ class IndexBuilder:
             {
                 "chunk": 0,
                 "base": 0,
-                "n_docs": meta["num_docs"],
+                "n_docs": num_docs,
                 "compacted_from_chunks": meta["n_chunks"],
+                "purged_docs": (meta["num_docs"] - num_docs) if tomb is not None else 0,
                 "secs": round(time.time() - t0, 2),
             },
         )
@@ -845,22 +974,113 @@ class IndexBuilder:
         # atomic flip, then GC the old generation
         new_meta = dict(meta)
         new_meta.update(
-            {"tables": new, "n_chunks": 1, "compactions": gen}
+            {
+                "tables": new,
+                "n_chunks": 1,
+                "compactions": gen,
+                "num_docs": num_docs,
+                "total_tokens": total_tokens,
+                "terms_table": terms_name,
+                "terms_seq": terms_seq,
+                "num_deleted": 0,
+            }
         )
+        new_meta.pop("tombstones_table", None)
         self.tables = new
-        self._write_meta(new_meta)
+        # grace: a reader that opened the index before this flip still
+        # holds the pre-compaction terms/tombstone snapshots
+        keep = (meta["terms_table"],) + (
+            (old_tomb_name,) if old_tomb_name else ()
+        )
+        self._write_meta(new_meta, keep=keep)
         for logical, name in old_tables.items():
             if name != new[logical]:
                 fsio.delete(self.spark, self._p(name))
         return {
             "generation": gen,
-            "vacuumed_docs": n_docs_before - meta["num_docs"],
-            "num_docs": meta["num_docs"],
+            "vacuumed_docs": n_docs_before - num_docs,
+            "purged_docs": (meta["num_docs"] - num_docs) if tomb is not None else 0,
+            "num_docs": num_docs,
             "posting_files_before": posting_files_before,
             "posting_files_after": len(
                 spark.read.parquet(self._p(new["postings"])).inputFiles()
             ),
             "secs": round(time.time() - t0, 2),
+        }
+
+    def delete(self, doc_ids) -> dict:
+        """Tombstone-delete documents by doc_id — the LSM delete path
+        (the takedown/right-to-erasure op a training-data corpus needs;
+        the reference has no deletes, so the semantics follow Lucene's
+        deleted-docs discipline rather than any reference behavior).
+
+        Deletes are LOGICAL and O(deletes): the ids land in a new
+        versioned snapshot ``tombstones_v<N>`` — the union of the
+        previous snapshot and the new ids, written complete before the
+        atomic ``_meta.json`` flip, with the same one-generation GC
+        grace as the terms dictionary. Readers mask tombstoned docs out
+        of every query (pre-top-k, see ``engine.py``) while the corpus
+        statistics that feed scoring (num_docs, df, avgdl, the stored
+        L_d weights) stay PRE-delete until :meth:`compact` physically
+        purges the rows and recomputes them — exactly Lucene's
+        live-docs bitset + merge-time reclaim. Doc ids are never reused
+        (``next_doc_id`` is monotone across appends), so a tombstone
+        can never resurrect onto a future document.
+
+        ``doc_ids``: an iterable of ints or a DataFrame with a
+        ``doc_id`` column (the distributed path — e.g. the losers of a
+        dedup pass or a PII scan's hits feed in without ever touching
+        the driver). Ids outside ``[0, next_doc_id)`` are rejected;
+        already-deleted and already-purged ids are no-ops.
+        """
+        spark = self.spark
+        meta = self.recover()
+        if isinstance(doc_ids, DataFrame):
+            new_ids = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+        else:
+            new_ids = spark.createDataFrame(
+                [(int(i),) for i in doc_ids], "doc_id long"
+            )
+        limit = meta.get("next_doc_id", meta["num_docs"])
+        n_bad = new_ids.where(
+            (F.col("doc_id") < 0) | (F.col("doc_id") >= limit)
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"{n_bad} doc_id(s) outside [0, {limit}) — refusing to "
+                "tombstone ids that were never assigned"
+            )
+        old_name = meta.get("tombstones_table")
+        if old_name:
+            new_ids = new_ids.union(
+                spark.read.parquet(self._p(old_name)).select("doc_id")
+            )
+        gen = meta.get("deletes", 0) + 1
+        name = f"tombstones_v{gen:06d}"
+        block_span = meta["block_span"]
+        tomb = new_ids.distinct().select(
+            "doc_id",
+            F.expr(f"CAST(doc_id DIV {block_span} AS LONG)").alias("block_id"),
+        )
+        (
+            tomb.repartitionByRange(
+                max(1, min(self.write_partitions, 8)), "doc_id"
+            )
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(self._p(name))
+        )
+        self._ensure_readable(self._p(name), "doc_id long, block_id long")
+        n = spark.read.parquet(self._p(name)).count()
+        new_meta = dict(meta)
+        new_meta.update(
+            {"tombstones_table": name, "num_deleted": int(n), "deletes": gen}
+        )
+        self._write_meta(new_meta, keep=(old_name,) if old_name else ())
+        return {
+            "tombstones_table": name,
+            "num_deleted": int(n),
+            "newly_deleted": int(n) - meta.get("num_deleted", 0),
         }
 
     # -- internals -------------------------------------------------------------
@@ -991,21 +1211,35 @@ class IndexBuilder:
         ).write.mode("overwrite").parquet(self._p(name))
         self._ensure_readable(self._p(name), "term string, df long, cf long")
 
-    def _write_meta(self, meta: dict) -> None:
+    def _write_meta(self, meta: dict, keep: tuple[str, ...] = ()) -> None:
         fsio.write_json_atomic(self.spark, self._p("_meta.json"), meta)
-        # GC superseded terms snapshots (best-effort, post-commit) with
-        # ONE generation of grace: a reader that opened the index
-        # before this flip still holds lazy plans over the previous
-        # snapshot — deleting it would fail that reader mid-query, so
-        # the newest superseded snapshot survives until the NEXT flip.
-        current = meta["terms_table"]
-        stale = sorted(
-            name
-            for name in fsio.listdir(self.spark, self.index_dir)
-            if name.startswith("terms_v") and name != current
-        )
-        for name in stale[:-1]:
-            fsio.delete(self.spark, self._p(name))
+        # GC superseded terms/tombstone snapshots (best-effort,
+        # post-commit) with ONE generation of grace: a reader that
+        # opened the index before this flip still holds lazy plans over
+        # the previous snapshot — deleting it would fail that reader
+        # mid-query, so the newest superseded snapshot of each family
+        # survives until the NEXT flip. ``keep`` lets a caller protect
+        # specific names regardless of sort order (the purge-compaction
+        # passes the pre-flip pointers).
+        listing = fsio.listdir(self.spark, self.index_dir)
+        for prefix, current in (
+            ("terms_v", meta["terms_table"]),
+            ("tombstones_v", meta.get("tombstones_table")),
+        ):
+            fam_keep = {k for k in keep if k and k.startswith(prefix)}
+            stale = sorted(
+                name
+                for name in listing
+                if name.startswith(prefix)
+                and name != current
+                and name not in fam_keep
+            )
+            # a caller that named this family's grace set explicitly
+            # gets exactly that; otherwise fall back to keeping the
+            # newest superseded snapshot by sort order
+            doomed = stale if fam_keep else stale[:-1]
+            for name in doomed:
+                fsio.delete(self.spark, self._p(name))
 
     def _finalize(
         self, num_docs: int, n_chunks: int = 1, ingest: dict | None = None
@@ -1028,6 +1262,7 @@ class IndexBuilder:
         # terms_v<N> and atomically flip meta["terms_table"] — readers
         # always see a complete table, appends never rewrite in place
         terms_name = f"terms_v{n_chunks:06d}"
+        terms_seq = n_chunks
         self._write_terms(terms, terms_name, num_docs)
 
         vocab = (
@@ -1059,6 +1294,7 @@ class IndexBuilder:
             "format_version": FORMAT_VERSION,
             "n_chunks": n_chunks,
             "terms_table": terms_name,
+            "terms_seq": terms_seq,
             "tables": self.tables,
             "compactions": 0,
         }
@@ -1116,7 +1352,11 @@ class IndexBuilder:
                 F.sum("cf").cast("long").alias("cf"),
             )
         )
-        terms_name = f"terms_v{chunk + 1:06d}"
+        # monotonic snapshot counter — compaction resets n_chunks, so
+        # keying names off the chunk number alone could collide with a
+        # grace-held older snapshot; terms_seq only ever grows
+        terms_seq = meta.get("terms_seq", chunk) + 1
+        terms_name = f"terms_v{terms_seq:06d}"
         self._write_terms(merged, terms_name, num_docs)
 
         new_vocab = (
@@ -1153,6 +1393,7 @@ class IndexBuilder:
                 "total_tokens": meta["total_tokens"] + delta_tokens,
                 "n_chunks": chunk + 1,
                 "terms_table": terms_name,
+                "terms_seq": terms_seq,
             }
         )
         if ingest is not None:

@@ -33,7 +33,11 @@ from search_engine_spark import fsio
 from search_engine_spark.build import IndexBuilder  # noqa: F401  (re-export)
 from search_engine_spark.functions import codec
 from search_engine_spark.text.kgrams import kgrams, wildcard_grams
-from search_engine_spark.text.normalize import query_normalize, remove_special_characters
+from search_engine_spark.text.normalize import (
+    analyze,
+    query_normalize,
+    remove_special_characters,
+)
 
 JACCARD_THRESHOLD = 0.35  # reference query.py:14
 DEFAULT_K = 10  # reference query.py:25
@@ -53,7 +57,12 @@ def _block_scorer(k: int | None):
     the block's full doc range.
     """
 
-    def score(pdf: pd.DataFrame, *, allowed: np.ndarray | None = None) -> pd.DataFrame:
+    def score(
+        pdf: pd.DataFrame,
+        *,
+        allowed: np.ndarray | None = None,
+        blocked: np.ndarray | None = None,
+    ) -> pd.DataFrame:
         order = np.argsort(pdf["qidx"].to_numpy(), kind="stable")
         doc_parts, partial_parts, weight_parts = [], [], []
         for i in order:
@@ -69,6 +78,11 @@ def _block_scorer(k: int | None):
             # predicate filtering happens BEFORE top-k truncation — a
             # filtered-out doc must never occupy a top-k slot
             keep = np.isin(docs, allowed)
+            docs, partials, weights = docs[keep], partials[keep], weights[keep]
+        if blocked is not None and blocked.size:
+            # tombstone masking, also pre-top-k: a deleted doc must
+            # neither occupy a slot nor inflate the WAND threshold
+            keep = ~np.isin(docs, blocked)
             docs, partials, weights = docs[keep], partials[keep], weights[keep]
         uniq, inv = np.unique(docs, return_inverse=True)
         acc = np.zeros(uniq.size)
@@ -107,7 +121,12 @@ def _block_bm25_scorer(k: int | None, k1: float, b: float, avgdl: float):
     tie-break doc_id asc — same discipline as the tf-idf scorer.
     """
 
-    def score(pdf: pd.DataFrame, *, allowed: np.ndarray | None = None) -> pd.DataFrame:
+    def score(
+        pdf: pd.DataFrame,
+        *,
+        allowed: np.ndarray | None = None,
+        blocked: np.ndarray | None = None,
+    ) -> pd.DataFrame:
         order = np.argsort(pdf["qidx"].to_numpy(), kind="stable")
         doc_parts, partial_parts = [], []
         for i in order:
@@ -122,6 +141,9 @@ def _block_bm25_scorer(k: int | None, k1: float, b: float, avgdl: float):
         partials = np.concatenate(partial_parts)
         if allowed is not None:
             keep = np.isin(docs, allowed)
+            docs, partials = docs[keep], partials[keep]
+        if blocked is not None and blocked.size:
+            keep = ~np.isin(docs, blocked)
             docs, partials = docs[keep], partials[keep]
         uniq, inv = np.unique(docs, return_inverse=True)
         acc = np.zeros(uniq.size)
@@ -217,6 +239,55 @@ def _cogroup_filtered(scorer):
     return run
 
 
+def _cogroup_blocked(scorer):
+    """Adapter turning a block scorer into a ``cogroup().applyInPandas``
+    worker for tombstone masking: the left side is the block's (query
+    term, postings) cells, the right side is the block's DELETED
+    doc_ids (the tombstone snapshot, co-shuffled by block_id so each
+    worker sees exactly the deletions that can touch its docs). The
+    scorer drops deleted candidates BEFORE its per-block top-k — a
+    deleted doc must neither occupy a top-k slot nor (on the WAND
+    scoring rounds) inflate the pruning threshold, which would
+    over-prune live results. A block with no tombstones scores
+    untouched; a tombstone-only group (no cells) short-circuits."""
+
+    def run(cells: pd.DataFrame, tomb: pd.DataFrame) -> pd.DataFrame:
+        if len(cells) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.empty(0, dtype=np.int64),
+                    "score": np.empty(0, dtype=np.float64),
+                }
+            )
+        blocked = tomb["doc_id"].to_numpy() if len(tomb) else None
+        return scorer(cells, blocked=blocked)
+
+    return run
+
+
+def _cogroup_blocked_keyed(k: int | None):
+    """Tombstone-masked :func:`_block_scorer_keyed` — the batch paths'
+    (query_id, block_id)-keyed groups, cogrouped with that pair's
+    tombstones (the per-block tombstone set joined to each query id)."""
+    inner = _block_scorer(k)
+
+    def run(key, cells: pd.DataFrame, tomb: pd.DataFrame) -> pd.DataFrame:
+        if len(cells) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": np.empty(0, dtype=np.int32),
+                    "doc_id": np.empty(0, dtype=np.int64),
+                    "score": np.empty(0, dtype=np.float64),
+                }
+            )
+        blocked = tomb["doc_id"].to_numpy() if len(tomb) else None
+        out = inner(cells, blocked=blocked)
+        out.insert(0, "query_id", int(key[0]))
+        return out
+
+    return run
+
+
 def _block_near(term_a: str, term_b: str, max_dist: int, block_span: int):
     """Per-block positional NEAR/k matcher (proximity search).
 
@@ -304,6 +375,11 @@ class TranscriptSearchEngine:
         # the current pointers (flipped atomically by the writers)
         self._terms_name: str = meta["terms_table"]
         self._table_names: dict[str, str] = meta.get("tables", {})
+        # logical deletes (Lucene live-docs semantics): every query
+        # masks these doc ids; scoring statistics stay pre-delete until
+        # compaction purges (see IndexBuilder.delete)
+        self._tombstones_name: str | None = meta.get("tombstones_table")
+        self.num_deleted: int = meta.get("num_deleted", 0)
 
     def _load(self, name: str) -> DataFrame:
         """Lazily read an index table, size-gated for caching.
@@ -366,6 +442,35 @@ class TranscriptSearchEngine:
     def docs(self) -> DataFrame:
         return self._load("docs")
 
+    @property
+    def tombstones(self) -> DataFrame | None:
+        """(doc_id, block_id) of logically deleted docs, or None when
+        the index has no deletes. Small between compactions (it holds
+        DELETES, not docs), so the size gate in :meth:`_load` caches it
+        like a dictionary table."""
+        if self._tombstones_name is None:
+            return None
+        return self._load(self._tombstones_name)
+
+    @property
+    def num_live(self) -> int:
+        """Documents visible to queries (num_docs minus tombstones)."""
+        return self.num_docs - self.num_deleted
+
+    def _mask_deleted(self, df: DataFrame) -> DataFrame:
+        """Drop tombstoned doc ids from a doc-set result (boolean /
+        phrase / NEAR outputs — no top-k involved, so post-filtering is
+        exact). Broadcast anti-join while the tombstone set is small;
+        past the threshold it falls back to a shuffled anti-join (and
+        the right fix is to run compact())."""
+        tomb = self.tombstones
+        if tomb is None:
+            return df
+        t = tomb.select("doc_id")
+        if self.num_deleted <= 5_000_000:
+            t = F.broadcast(t)
+        return df.join(t, "doc_id", "left_anti")
+
     # ------------------------------------------------------- pruned scans
     def _postings_for_terms(self, terms) -> DataFrame:
         """Postings scan restricted to ``terms`` — the reference's
@@ -421,9 +526,25 @@ class TranscriptSearchEngine:
         self._refresh()
         return info
 
+    def delete(self, doc_ids) -> dict:
+        """Tombstone-delete docs (list of ids or a DataFrame with a
+        ``doc_id`` column — see :meth:`IndexBuilder.delete`). Logical
+        and O(deletes): every subsequent query masks the ids, scoring
+        statistics stay pre-delete until :meth:`compact` purges
+        (Lucene's live-docs discipline)."""
+        info = IndexBuilder(
+            self.spark,
+            self.index_dir,
+            block_span=self.block_span,
+            term_buckets=self.term_buckets,
+        ).delete(doc_ids)
+        self._refresh()
+        return info
+
     def compact(self) -> dict:
-        """Consolidate chunks / vacuum orphans / dedup dictionaries
-        (:meth:`IndexBuilder.compact`), then refresh this engine."""
+        """Consolidate chunks / vacuum orphans / dedup dictionaries /
+        purge tombstones (:meth:`IndexBuilder.compact`), then refresh
+        this engine."""
         info = IndexBuilder(
             self.spark,
             self.index_dir,
@@ -682,11 +803,27 @@ class TranscriptSearchEngine:
         cells = cells.join(F.broadcast(wdf), "term").select(
             "block_id", "qidx", "wqt", *payload_cols
         )
-        pdf = (
-            cells.groupBy("block_id")
-            .applyInPandas(scorer, "doc_id long, score double")
-            .toPandas()
-        )
+        tomb = self.tombstones
+        if tomb is not None:
+            # tombstones masked INSIDE the scoring rounds: a deleted
+            # doc in round 1 would inflate the threshold L and
+            # over-prune live docs in round 2
+            if block_ids is not None:
+                tomb = tomb.where(
+                    F.col("block_id").isin([int(b) for b in block_ids])
+                )
+            scored = (
+                cells.groupBy("block_id")
+                .cogroup(tomb.groupBy("block_id"))
+                .applyInPandas(
+                    _cogroup_blocked(scorer), "doc_id long, score double"
+                )
+            )
+        else:
+            scored = cells.groupBy("block_id").applyInPandas(
+                scorer, "doc_id long, score double"
+            )
+        pdf = scored.toPandas()
         return {
             int(d): float(s) for d, s in zip(pdf["doc_id"], pdf["score"])
         }
@@ -743,15 +880,30 @@ class TranscriptSearchEngine:
         self, cells: DataFrame, scorer, where
     ) -> DataFrame:
         """Per-block scoring, optionally cogrouped with a metadata
-        filter (see :func:`_cogroup_filtered`)."""
+        filter (see :func:`_cogroup_filtered`) and/or the tombstone
+        snapshot (see :func:`_cogroup_blocked`). With BOTH a filter and
+        tombstones, the tombstones are anti-joined out of the (already
+        co-shuffled) allowed set — one cogroup either way."""
         out_schema = "doc_id long, score double"
-        if where is None:
-            return cells.groupBy("block_id").applyInPandas(scorer, out_schema)
-        return (
-            cells.groupBy("block_id")
-            .cogroup(self._allowed_by_block(where).groupBy("block_id"))
-            .applyInPandas(_cogroup_filtered(scorer), out_schema)
-        )
+        tomb = self.tombstones
+        if where is not None:
+            allowed = self._allowed_by_block(where)
+            if tomb is not None:
+                allowed = allowed.join(
+                    F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+                )
+            return (
+                cells.groupBy("block_id")
+                .cogroup(allowed.groupBy("block_id"))
+                .applyInPandas(_cogroup_filtered(scorer), out_schema)
+            )
+        if tomb is not None:
+            return (
+                cells.groupBy("block_id")
+                .cogroup(tomb.groupBy("block_id"))
+                .applyInPandas(_cogroup_blocked(scorer), out_schema)
+            )
+        return cells.groupBy("block_id").applyInPandas(scorer, out_schema)
 
     def _score_terms_df(
         self, terms: list[str], k: int, where=None
@@ -833,9 +985,30 @@ class TranscriptSearchEngine:
                 "query_id", "block_id", "qidx", "wqt", "postings_bin", "weights_bin"
             )
         )
-        scored = cells.groupBy("query_id", "block_id").applyInPandas(
-            _block_scorer_keyed(k), "query_id int, doc_id long, score double"
-        )
+        tomb = self.tombstones
+        if tomb is not None:
+            # each block's tombstones apply to EVERY query in the batch
+            # (fresh DataFrame, not a wdf projection — deriving it from
+            # wdf would make the cogroup an ambiguous self-join)
+            qids = self.spark.createDataFrame(
+                [(qid,) for qid in sorted({r[0] for r in rows})],
+                "query_id int",
+            )
+            tomb_q = tomb.crossJoin(F.broadcast(qids)).select(
+                "query_id", "block_id", "doc_id"
+            )
+            scored = (
+                cells.groupBy("query_id", "block_id")
+                .cogroup(tomb_q.groupBy("query_id", "block_id"))
+                .applyInPandas(
+                    _cogroup_blocked_keyed(k),
+                    "query_id int, doc_id long, score double",
+                )
+            )
+        else:
+            scored = cells.groupBy("query_id", "block_id").applyInPandas(
+                _block_scorer_keyed(k), "query_id int, doc_id long, score double"
+            )
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("query_id").orderBy(
@@ -983,13 +1156,28 @@ class TranscriptSearchEngine:
                 "query_id", "block_id", "qidx", "wqt", "postings_bin", "weights_bin"
             )
         )
-        pdf = (
-            cells.groupBy("query_id", "block_id")
-            .applyInPandas(
+        tomb = self.tombstones
+        if tomb is not None:
+            # the selected pairs' tombstones, keyed per (query, block):
+            # the per-block tombstone set applies to every query that
+            # selected the block (same threshold-inflation argument as
+            # the single-query rounds)
+            tomb_q = F.broadcast(sel).join(tomb, "block_id").select(
+                "query_id", "block_id", "doc_id"
+            )
+            scored = (
+                cells.groupBy("query_id", "block_id")
+                .cogroup(tomb_q.groupBy("query_id", "block_id"))
+                .applyInPandas(
+                    _cogroup_blocked_keyed(k),
+                    "query_id int, doc_id long, score double",
+                )
+            )
+        else:
+            scored = cells.groupBy("query_id", "block_id").applyInPandas(
                 _block_scorer_keyed(k), "query_id int, doc_id long, score double"
             )
-            .toPandas()
-        )
+        pdf = scored.toPandas()
         return {
             (int(q), int(d)): float(s)
             for q, d, s in zip(pdf["query_id"], pdf["doc_id"], pdf["score"])
@@ -1093,7 +1281,9 @@ class TranscriptSearchEngine:
         literal_dfs = [d for d in literal_dfs if d is not None]
         if not literal_dfs:
             return self.spark.createDataFrame([], "doc_id long")
-        return reduce(DataFrame.union, literal_dfs).distinct().orderBy("doc_id")
+        hits = reduce(DataFrame.union, literal_dfs).distinct()
+        # doc-set results post-filter exactly (no top-k involved)
+        return self._mask_deleted(hits).orderBy("doc_id")
 
     def _literal_df(self, literal: str) -> DataFrame | None:
         """Doc set for one AND literal; None when no conjunct survives."""
@@ -1230,6 +1420,108 @@ class TranscriptSearchEngine:
             .agg(F.count("*").cast("long").alias("n_docs"))
         )
 
+    # ------------------------------------------------- conversation rollup
+    def ranked_conversations_df(self, query: str, k: int = DEFAULT_K) -> DataFrame:
+        """Top-k CONVERSATIONS for a ranked query: (conv_id, score,
+        n_hits, best_doc) — score = the conversation's best-scoring
+        turn (max-aggregation: order-independent, so results are
+        deterministic on any cluster), n_hits = matching turns,
+        best_doc = the turn behind the score (ties: smaller doc_id).
+
+        The transcript data model makes this the natural result unit —
+        users search for the conversation, not the turn. Plan: the
+        exhaustive per-block scorer WITHOUT per-block truncation (a
+        conversation's best turn can rank anywhere doc-level, so
+        doc-level top-k would be wrong), tombstones masked as usual,
+        then ONE partial-agg'd groupBy on conv_id after a join against
+        the column-pruned docs scan (doc_id, conv_id): the rollup costs
+        one shuffle over O(matching docs) rows. The struct-max
+        (score, -doc_id) folds best-score, tie-break and best-turn id
+        into a single agg — no window, no second pass."""
+        out_schema = "conv_id string, score double, n_hits long, best_doc long"
+        terms = self._ranked_terms(query)
+        empty = self.spark.createDataFrame([], out_schema)
+        if not terms:
+            return empty
+        occurrences = self._weighted_occurrences(terms)
+        if not occurrences:
+            return empty
+        wdf = self.spark.createDataFrame(
+            occurrences, "term string, qidx int, wqt double"
+        )
+        cells = (
+            self._postings_for_terms([t for t, _i, _w in occurrences])
+            .join(F.broadcast(wdf), "term")
+            .select("block_id", "qidx", "wqt", "postings_bin", "weights_bin")
+        )
+        scored = self._scored_blocks(cells, _block_scorer(None), None)
+        keyed = scored.join(self.docs.select("doc_id", "conv_id"), "doc_id")
+        best = F.max(F.struct(F.col("score"), (-F.col("doc_id")).alias("neg_id")))
+        rolled = (
+            keyed.groupBy("conv_id")
+            .agg(best.alias("best"), F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(
+                "conv_id",
+                F.col("best.score").alias("score"),
+                "n_hits",
+                (-F.col("best.neg_id")).cast("long").alias("best_doc"),
+            )
+        )
+        return rolled.orderBy(F.desc("score"), F.asc("conv_id")).limit(k)
+
+    def ranked_conversations(
+        self, query: str, k: int = DEFAULT_K
+    ) -> list[tuple[str, float, int, int]]:
+        return [
+            (r["conv_id"], r["score"], r["n_hits"], r["best_doc"])
+            for r in self.ranked_conversations_df(query, k).collect()
+        ]
+
+    # ---------------------------------------------------- more-like-this
+    def more_like_this(
+        self, doc_id: int, k: int = DEFAULT_K, n_terms: int = 10
+    ) -> list[tuple[int, float]]:
+        """Similar documents to ``doc_id`` (Lucene's MoreLikeThis):
+        the source doc's terms are weighted by the engine's own tf-idf
+        ((1+ln tf)·ln(1+N/df) — the :mod:`keywords <ops>` formula), the
+        top ``n_terms`` become a ranked query (each term once), and the
+        source is excluded from the result.
+
+        Cost shape: one pruned docs point-read (doc_id pushed to the
+        range-partitioned scan), the source text analyzed in-process
+        (one doc — no job), one pruned dictionary lookup for its
+        distinct terms, then the standard exhaustive ranked plan over
+        ``n_terms`` terms. The source doc is dropped AFTER scoring
+        (fetch k+1, drop, take k) — exact, because exactly one doc is
+        excluded. Tombstones mask as usual; a tombstoned source doc is
+        still a valid query seed until compaction purges its row."""
+        from collections import Counter
+
+        rows = (
+            self.docs.where(F.col("doc_id") == int(doc_id))
+            .select("text")
+            .collect()
+        )
+        if not rows:
+            raise KeyError(f"doc_id {doc_id} not in the index")
+        tfs = Counter(t for t, _pos, _raw in analyze(rows[0]["text"]))
+        dfs = self._term_dfs(set(tfs))
+        weighted = sorted(
+            (
+                (-(1.0 + log(tf)) * log(1 + self.num_docs / dfs[t]), t)
+                for t, tf in tfs.items()
+                if dfs.get(t)
+            ),
+        )[:n_terms]
+        terms = [t for _w, t in weighted]
+        if not terms:
+            return []
+        res = [
+            (r["doc_id"], r["score"])
+            for r in self._score_terms_df(terms, k + 1).collect()
+        ]
+        return [(d, s) for d, s in res if d != int(doc_id)][:k]
+
     # --------------------------------------------------------------- snippets
     def search(
         self,
@@ -1293,13 +1585,10 @@ class TranscriptSearchEngine:
         cells = self._postings_for_terms([ta, tb]).select(
             "block_id", "term", "postings_bin", "positions_bin"
         )
-        return (
-            cells.groupBy("block_id")
-            .applyInPandas(
-                _block_near(ta, tb, max_dist, self.block_span), "doc_id long"
-            )
-            .orderBy("doc_id")
+        hits = cells.groupBy("block_id").applyInPandas(
+            _block_near(ta, tb, max_dist, self.block_span), "doc_id long"
         )
+        return self._mask_deleted(hits).orderBy("doc_id")
 
     def near_query(
         self, word_a: str, word_b: str, max_dist: int = 3

@@ -74,6 +74,7 @@ def ranked_topk(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exclude=None,
 ) -> DataFrame:
     """Term-at-a-time tf-idf top-k (Q9/Q10): (doc_id, score).
 
@@ -82,7 +83,29 @@ def ranked_topk(
     broadcast(query terms) |><| tf -> partial-agg sum -> join doc
     weights -> TakeOrderedAndProject. Scores rounded to 6 dp for
     engine-portable comparison.
+
+    ``exclude`` (Column predicate over the candidate rows) implements
+    tombstone-delete semantics: excluded docs are masked BEFORE the
+    top-k, but every statistic that feeds scoring (N, df, L_d) is still
+    computed over the FULL corpus — Lucene's deleted-docs discipline,
+    mirrored by the disk engine's query-time masking
+    (``engine.TranscriptSearchEngine.delete``).
     """
+    scored = ranked_scores(docs, query_terms, text_col, id_col)
+    if exclude is not None:
+        scored = scored.where(~exclude)
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def ranked_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every matching doc's tf-idf score (the :func:`ranked_topk` plan
+    without the final top-k) — the scoring core shared by doc-level
+    and group-level ranking."""
     spark = docs.sparkSession
     n_docs = docs.count()
     tf = tf_table(docs, text_col, id_col)
@@ -95,7 +118,7 @@ def ranked_topk(
     )
     qdf = spark.createDataFrame([(t,) for t in set(query_terms)], "term string")
     dfs = term_stats(tf).join(F.broadcast(qdf), "term").select("term", "df")
-    scored = (
+    return (
         tf.join(F.broadcast(dfs), "term")
         .select(
             id_col,
@@ -108,6 +131,96 @@ def ranked_topk(
         .agg(F.sum("partial").alias("acc"))
         .join(weights.select(id_col, "weight"), id_col)
         .select(id_col, F.round(F.col("acc") / F.col("weight"), 6).alias("score"))
+    )
+
+
+def ranked_groups(
+    docs: DataFrame,
+    query_terms: list[str],
+    group_col,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Group-level ranked retrieval: (group, score, n_hits, best_doc).
+
+    Conversation search over transcripts — rank CONVERSATIONS by their
+    best-scoring turn (max-aggregation: order-independent, so the
+    result is deterministic and oracle-comparable in float; sum-style
+    aggregation would depend on float addition order across a
+    distributed agg). ``group_col`` is a Column expression over the
+    docs table (conv_id, or any derived key). Ties break on the doc-id
+    of the best hit via the (score, -doc_id) struct-max, then group
+    asc. The plan: score every matching doc (:func:`ranked_scores`),
+    one partial-agg'd groupBy on the group key, TakeOrdered k — the
+    rollup adds exactly one shuffle over O(matching docs) rows.
+    """
+    scored = ranked_scores(docs, query_terms, text_col, id_col)
+    keyed = scored.join(
+        docs.select(F.col(id_col), group_col.alias("grp")), id_col
+    )
+    # struct-max: (score, -doc_id) picks the best turn, smaller doc_id
+    # winning equal scores — one agg pass, no window
+    best = F.max(F.struct(F.col("score"), (-F.col(id_col)).alias("neg_id")))
+    out = (
+        keyed.groupBy("grp")
+        .agg(
+            best.alias("best"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        .select(
+            F.col("grp").alias("group_key"),
+            F.col("best.score").alias("score"),
+            "n_hits",
+            (-F.col("best.neg_id")).cast("long").alias("best_doc"),
+        )
+    )
+    return out.orderBy(F.desc("score"), F.asc("group_key")).limit(k)
+
+
+def more_like_this(
+    docs: DataFrame,
+    source_id: int,
+    k: int = 10,
+    n_terms: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Similar-document search: rank docs by the SOURCE doc's most
+    characteristic terms (Lucene's MoreLikeThis shape).
+
+    Query construction: the source doc's terms scored by the engine's
+    own tf-idf weighting (1+ln tf)·ln(1+N/df) — the same formula as
+    :func:`keywords` — top ``n_terms`` kept (ties: term asc, on the
+    UNROUNDED weight so cross-system ordering is identical). Retrieval
+    is then the standard ranked plan over those terms with each term
+    contributing once, the source doc excluded from the result (it
+    would trivially rank #1). Stats (N, df, L_d) are full-corpus.
+    """
+    tf = tf_table(docs, text_col, id_col)
+    n_docs = docs.count()
+    st = term_stats(tf)
+    wqt = F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df"))
+    top_terms = (
+        tf.where(F.col(id_col) == int(source_id))
+        .join(st, "term")
+        .select("term", ((F.lit(1.0) + F.log("tf")) * wqt).alias("tw"))
+        .orderBy(F.desc("tw"), F.asc("term"))
+        .limit(n_terms)
+        .select("term")
+    )
+    weights = tf.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.pow(F.lit(1.0) + F.log("tf"), F.lit(2.0)))).alias("weight")
+    )
+    scored = (
+        tf.join(st, "term")
+        .join(F.broadcast(top_terms), "term", "left_semi")
+        .select(id_col, (wqt * (F.lit(1.0) + F.log("tf"))).alias("partial"))
+        .groupBy(id_col)
+        .agg(F.sum("partial").alias("acc"))
+        .join(weights, id_col)
+        .select(id_col, F.round(F.col("acc") / F.col("weight"), 6).alias("score"))
+        .where(F.col(id_col) != int(source_id))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
