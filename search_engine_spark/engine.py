@@ -541,6 +541,25 @@ class TranscriptSearchEngine:
         self._refresh()
         return info
 
+    def delete_duplicates(self, threshold: float = 0.7, **dedup_kwargs) -> dict:
+        """The dedup→delete composition: find near-duplicate turns in
+        the indexed corpus (MinHash-LSH pairs → connected components →
+        one survivor per cluster, ``ops.components.dedup_groups``) and
+        tombstone every non-representative. Fully cluster-side — the
+        loser set flows into :meth:`delete` as a DataFrame, so nothing
+        corpus-sized touches the driver; a later :meth:`compact` purges
+        the losers physically. Returns delete()'s summary."""
+        from search_engine_spark.ops import components
+
+        losers = (
+            components.dedup_groups(
+                self.docs, threshold=threshold, **dedup_kwargs
+            )
+            .where(~F.col("keep"))
+            .select("doc_id")
+        )
+        return self.delete(losers)
+
     def compact(self) -> dict:
         """Consolidate chunks / vacuum orphans / dedup dictionaries /
         purge tombstones (:meth:`IndexBuilder.compact`), then refresh

@@ -296,6 +296,33 @@ def test_more_like_this(deleted_engine):
         eng.more_like_this(10**8)
 
 
+def test_delete_duplicates_composition(spark, tmp_path):
+    """dedup_groups → delete: exact clones get tombstoned down to one
+    survivor per cluster, entirely via the DataFrame path."""
+    from pyspark.sql import functions as F
+
+    base = synthetic_transcripts(spark, n_convs=6, turns_per_conv=10)
+    clones = (
+        base.where("turn_idx = 0")
+        .withColumn("conv_id", F.concat(F.lit("clone-"), "conv_id"))
+    )
+    eng = TranscriptSearchEngine.build(
+        spark, base.unionByName(clones), str(tmp_path / "idx")
+    )
+    texts = {
+        r["doc_id"]: r["text"] for r in eng.docs.select("doc_id", "text").collect()
+    }
+    info = eng.delete_duplicates(threshold=0.9)
+    assert info["num_deleted"] >= 6  # at least one loser per cloned turn
+    # survivors: every text that was duplicated keeps exactly one live doc
+    live = set(texts) - {r["doc_id"] for r in eng.tombstones.collect()}
+    by_text: dict[str, int] = {}
+    for doc in live:
+        by_text[texts[doc]] = by_text.get(texts[doc], 0) + 1
+    dup_texts = {t for t in by_text if sum(1 for x in texts.values() if x == t) > 1}
+    assert dup_texts and all(by_text[t] == 1 for t in dup_texts)
+
+
 def test_delete_then_append(spark, tmp_path):
     """Tombstones survive appends (ids are never reused) and new docs
     are immediately visible."""
