@@ -133,6 +133,27 @@ class SearchService:
         rows = self.engine.facet_counts(query, facet_col).collect()
         return {"facets": {r[facet_col]: r["n_docs"] for r in rows}}
 
+    # ---- POST /conversations (extension: conversation-level results) ------
+    def conversations(self, query: str, k: int = 10) -> dict:
+        """Top-k conversations for a ranked query (best-turn score,
+        matching-turn count, best turn id) — bounded output by
+        construction: k rows of scalars."""
+        assert self.engine is not None, "call buildindex first"
+        rows = self.engine.ranked_conversations(query, k=k)
+        return {
+            "conversations": [
+                {"conv_id": c, "score": s, "n_hits": n, "best_doc": d}
+                for c, s, n, d in rows
+            ]
+        }
+
+    # ---- POST /similar (extension: more-like-this) -------------------------
+    def similar(self, doc_id: int, k: int = 10) -> dict:
+        """Docs similar to ``doc_id`` (more-like-this); k scalar rows."""
+        assert self.engine is not None, "call buildindex first"
+        hits = self.engine.more_like_this(int(doc_id), k=k)
+        return {"similar": [{"doc_id": d, "score": s} for d, s in hits]}
+
     # ---- POST /suggest (extension: search-box autocomplete) ---------------
     def suggest(self, prefix: str, k: int = 10) -> dict:
         """Top-k prefix completions from the term dictionary — a

@@ -1440,29 +1440,49 @@ class TranscriptSearchEngine:
         )
 
     # ------------------------------------------------- conversation rollup
-    def ranked_conversations_df(self, query: str, k: int = DEFAULT_K) -> DataFrame:
+    def ranked_conversations_df(
+        self,
+        query: str,
+        k: int = DEFAULT_K,
+        where=None,
+        bm25: bool = False,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
         """Top-k CONVERSATIONS for a ranked query: (conv_id, score,
         n_hits, best_doc) — score = the conversation's best-scoring
         turn (max-aggregation: order-independent, so results are
         deterministic on any cluster), n_hits = matching turns,
         best_doc = the turn behind the score (ties: smaller doc_id).
+        ``where`` restricts to docs matching a metadata predicate (same
+        machinery as :meth:`ranked_query_df`); ``bm25=True`` scores
+        turns with Okapi BM25 instead of tf-idf.
 
         The transcript data model makes this the natural result unit —
         users search for the conversation, not the turn. Plan: the
         exhaustive per-block scorer WITHOUT per-block truncation (a
         conversation's best turn can rank anywhere doc-level, so
-        doc-level top-k would be wrong), tombstones masked as usual,
-        then ONE partial-agg'd groupBy on conv_id after a join against
-        the column-pruned docs scan (doc_id, conv_id): the rollup costs
-        one shuffle over O(matching docs) rows. The struct-max
-        (score, -doc_id) folds best-score, tie-break and best-turn id
-        into a single agg — no window, no second pass."""
+        doc-level top-k would be wrong), tombstones/filter masked as
+        usual, then ONE partial-agg'd groupBy on conv_id after a join
+        against the column-pruned docs scan (doc_id, conv_id): the
+        rollup costs one shuffle over O(matching docs) rows. The
+        struct-max (score, -doc_id) folds best-score, tie-break and
+        best-turn id into a single agg — no window, no second pass."""
         out_schema = "conv_id string, score double, n_hits long, best_doc long"
         terms = self._ranked_terms(query)
         empty = self.spark.createDataFrame([], out_schema)
         if not terms:
             return empty
-        occurrences = self._weighted_occurrences(terms)
+        if bm25:
+            occurrences = self._bm25_occurrences(terms)
+            scorer = _block_bm25_scorer(
+                None, k1, b, self.total_tokens / self.num_docs
+            )
+            payload = "doclens_bin"
+        else:
+            occurrences = self._weighted_occurrences(terms)
+            scorer = _block_scorer(None)
+            payload = "weights_bin"
         if not occurrences:
             return empty
         wdf = self.spark.createDataFrame(
@@ -1471,9 +1491,9 @@ class TranscriptSearchEngine:
         cells = (
             self._postings_for_terms([t for t, _i, _w in occurrences])
             .join(F.broadcast(wdf), "term")
-            .select("block_id", "qidx", "wqt", "postings_bin", "weights_bin")
+            .select("block_id", "qidx", "wqt", "postings_bin", payload)
         )
-        scored = self._scored_blocks(cells, _block_scorer(None), None)
+        scored = self._scored_blocks(cells, scorer, where)
         keyed = scored.join(self.docs.select("doc_id", "conv_id"), "doc_id")
         best = F.max(F.struct(F.col("score"), (-F.col("doc_id")).alias("neg_id")))
         rolled = (
@@ -1489,11 +1509,11 @@ class TranscriptSearchEngine:
         return rolled.orderBy(F.desc("score"), F.asc("conv_id")).limit(k)
 
     def ranked_conversations(
-        self, query: str, k: int = DEFAULT_K
+        self, query: str, k: int = DEFAULT_K, **kwargs
     ) -> list[tuple[str, float, int, int]]:
         return [
             (r["conv_id"], r["score"], r["n_hits"], r["best_doc"])
-            for r in self.ranked_conversations_df(query, k).collect()
+            for r in self.ranked_conversations_df(query, k, **kwargs).collect()
         ]
 
     # ---------------------------------------------------- more-like-this

@@ -4,7 +4,9 @@ Mirrors the reference's jQuery SPA and Flask routes (``index.html``,
 ``index.js:1-235``, ``searchengine.py:109-124``) without external
 dependencies: :class:`http.server.ThreadingHTTPServer` serves the four
 reference POST endpoints (``/buildindex`` ``/query`` ``/showterms``
-``/stem``) plus three scale-minded extensions — ``/search`` (top-k
+``/stem``) plus scale-minded extensions — ``/conversations``
+(conversation-level ranked results), ``/similar`` (more-like-this),
+``/search`` (top-k
 with corpus-side snippets, bounded at k×window words instead of whole
 documents), ``/facets`` (result distribution over a docs metadata
 column), and ``/suggest`` (prefix autocomplete from a pushdown-pruned
@@ -293,6 +295,10 @@ class _Handler(BaseHTTPRequestHandler):
                 out = svc.facets(form["query"], form.get("facet_col", "role"))
             elif self.path == "/suggest":
                 out = svc.suggest(form["prefix"], k=int(form.get("k", 10)))
+            elif self.path == "/conversations":
+                out = svc.conversations(form["query"], k=int(form.get("k", 10)))
+            elif self.path == "/similar":
+                out = svc.similar(int(form["doc_id"]), k=int(form.get("k", 10)))
             else:
                 self._send({"error": "not found"}, status=404)
                 return

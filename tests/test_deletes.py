@@ -279,6 +279,37 @@ def test_ranked_conversations_rollup(deleted_engine):
     assert eng.ranked_conversations(QUERY, k=10) == expect
 
 
+def _rollup(pairs, conv_of, k=10):
+    agg: dict[str, tuple[float, int, int]] = {}
+    for doc, s in pairs:
+        c = conv_of[doc]
+        best_s, best_doc, n = agg.get(c, (float("-inf"), -1, 0))
+        if s > best_s or (s == best_s and doc < best_doc):
+            best_s, best_doc = s, doc
+        agg[c] = (best_s, best_doc, n + 1)
+    return sorted(
+        ((c, s, n, d) for c, (s, d, n) in agg.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:k]
+
+
+def test_ranked_conversations_bm25_and_where(deleted_engine):
+    """BM25 scoring and metadata filtering compose with the rollup —
+    each equals the pure-python rollup of the corresponding doc-level
+    ranking (tombstones already masked by those paths)."""
+    eng, _dele, _full = deleted_engine
+    conv_of = {
+        r["doc_id"]: r["conv_id"]
+        for r in eng.docs.select("doc_id", "conv_id").collect()
+    }
+    bm = eng.bm25_query(QUERY, k=400)
+    assert eng.ranked_conversations(QUERY, k=10, bm25=True) == _rollup(bm, conv_of)
+    filt = eng.ranked_query(QUERY, k=400, where="role = 'user'")
+    assert eng.ranked_conversations(QUERY, k=10, where="role = 'user'") == _rollup(
+        filt, conv_of
+    )
+
+
 def test_more_like_this(deleted_engine):
     """MLT wiring: source excluded, k results, scores descending, and
     tombstoned docs masked out of the neighbor list."""

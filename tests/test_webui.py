@@ -145,3 +145,19 @@ def test_suggest_endpoint(ui):
     base, _ = ui
     res = post(base, "/suggest", {"prefix": "t", "k": 2})
     assert res["suggestions"] == ["test", "third"]
+
+
+def test_conversations_endpoint(ui):
+    base, _ = ui
+    res = post(base, "/conversations", {"query": "test", "k": 2})
+    convs = res["conversations"]
+    assert len(convs) == 2
+    assert {"conv_id", "score", "n_hits", "best_doc"} <= set(convs[0])
+    assert convs[0]["score"] >= convs[1]["score"]
+
+
+def test_similar_endpoint(ui):
+    base, _ = ui
+    res = post(base, "/similar", {"doc_id": 0, "k": 3})
+    docs = [h["doc_id"] for h in res["similar"]]
+    assert docs and 0 not in docs
