@@ -10,14 +10,16 @@ Porter2 engine, ANN, and multimodal entries get oracles via
 materialized deterministic inputs (stemmed-tf dump; inlined
 hyperplane / centroid literals; fake-feature dump — each re-derived
 by the same pure-Python/numpy helpers the Spark plans use, see
-``contract.py``), so all 56 entries carry value-level oracles. The catalog
+``contract.py``), so all 60 entries carry value-level oracles. The catalog
 also covers the curation surface (composed pipeline, PII scan/redact,
 benchmark decontamination, dedup groups, deterministic sampling,
 context packing, keyword extraction), events analytics (sessionization,
 rolling windows, quantiles), and the round-4 query extensions (NEAR/k
 proximity, metadata-filtered ranked retrieval, facet counts, PMI
 collocations, snippets, standing-query percolation, tombstone-delete
-ranked semantics, conversation-level ranked rollup, more-like-this).
+ranked semantics, conversation-level ranked rollup, more-like-this,
+role-boosted ranking, per-conversation diversified top-k, Gopher-style
+repetition scores, and target-mixture domain sampling).
 """
 
 from __future__ import annotations

@@ -288,6 +288,102 @@ def _cogroup_blocked_keyed(k: int | None):
     return run
 
 
+def _cogroup_boosted(k: int | None):
+    """Field/metadata-boosted scoring adapter: the right cogroup side
+    carries this block's (doc_id, boost) rows for docs whose boost
+    multiplier differs from 1.0, plus boost-NULL rows for tombstoned
+    docs (one co-shuffled side encodes both, see
+    :meth:`TranscriptSearchEngine._boosts_by_block`). The scorer runs
+    un-truncated (k=None — every doc's base score is complete within
+    its block), boosts multiply AFTER the tf-idf normalization (the
+    BM25F-style "field weight on the whole-doc score" form), and ONLY
+    THEN the per-block top-k applies — a boosted doc must be able to
+    displace an unboosted one and vice versa, so truncation before the
+    multiply would be wrong. Docs without a boost row keep weight 1.0;
+    at scale the right side is O(boosted docs + tombstones) per block,
+    not O(corpus)."""
+    inner = _block_scorer(None)
+
+    def run(cells: pd.DataFrame, boosts: pd.DataFrame) -> pd.DataFrame:
+        if len(cells) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.empty(0, dtype=np.int64),
+                    "score": np.empty(0, dtype=np.float64),
+                }
+            )
+        blocked = None
+        if len(boosts):
+            dead = boosts.loc[boosts["boost"].isna(), "doc_id"].to_numpy()
+            if dead.size:
+                blocked = dead
+        out = inner(cells, blocked=blocked)
+        if len(boosts):
+            live = boosts.dropna(subset=["boost"])
+            if len(live):
+                m = out.merge(
+                    live[["doc_id", "boost"]], on="doc_id", how="left"
+                )
+                out["score"] = (
+                    out["score"].to_numpy()
+                    * m["boost"].fillna(1.0).to_numpy()
+                )
+        out = out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        if k is not None:
+            out = out.head(k)
+        return out
+
+    return run
+
+
+def _cogroup_diverse(k: int, per_group: int):
+    """Diversified (per-group-capped) top-k adapter: at most
+    ``per_group`` results from any one group (conversation) in the
+    final ranking. The right side maps this block's docs to their
+    group keys; the merge is INNER, so docs absent from it (tombstoned
+    ids are anti-joined out upstream) drop out before ranking.
+
+    Correctness of the per-block cap: order docs by the total order
+    (score desc, doc_id asc). If doc d belongs to the global
+    diversified top-k, then (a) d is among the global top
+    ``per_group`` of its group, hence also among the top ``per_group``
+    of its group's docs WITHIN ITS BLOCK (ranking within a subset can
+    only improve), so d survives the per-(block, group) cap; and (b)
+    for every block-capped survivor e ahead of d, e's group's global
+    top-``per_group`` contains a doc ahead of e (pointwise: the
+    group's global j-th best beats its block-local j-th best), giving
+    an injection from block survivors ahead of d into GLOBAL
+    diversified candidates ahead of d — fewer than k of those exist,
+    so d is inside the block's top-k too. The global re-cap + top-k
+    over the n_blocks*k survivors happens in the DataFrame plan
+    (window + limit over tiny rows)."""
+    inner = _block_scorer(None)
+
+    def run(cells: pd.DataFrame, groups: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "group_key": np.empty(0, dtype=object),
+                "score": np.empty(0, dtype=np.float64),
+            }
+        )
+        if len(cells) == 0 or len(groups) == 0:
+            return empty
+        out = inner(cells)
+        m = out.merge(groups[["doc_id", "group_key"]], on="doc_id", how="inner")
+        if not len(m):
+            return empty
+        m = m.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        m = m[m.groupby("group_key", sort=False).cumcount() < per_group]
+        return m.head(k)[["doc_id", "group_key", "score"]]
+
+    return run
+
+
 def _block_near(term_a: str, term_b: str, max_dist: int, block_span: int):
     """Per-block positional NEAR/k matcher (proximity search).
 
@@ -935,29 +1031,158 @@ class TranscriptSearchEngine:
         # dictionary point lookups, query.py:80); its result is a handful
         # of floats, so folding them into the scoring plan as literals
         # keeps the main job to two stages (decode+explode, agg+top-k).
+        cells = self._ranked_cells(terms)
+        if cells is None:
+            return empty
+        scored = self._scored_blocks(cells, _block_scorer(k), where)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _ranked_cells(self, terms: list[str]) -> DataFrame | None:
+        """The ranked paths' shared (block, query-term) cell plan.
+
+        Blocks partition the doc space, so each doc's score is COMPLETE
+        within its block: one applyInPandas over (term, block) cells
+        scores a whole block in numpy and emits only that block's
+        top-k. The global answer is TakeOrderedAndProject over
+        n_blocks*k tiny rows — no posting-row explosion, no doc_stats
+        join (L_d rides inside the block, weights_bin), and the only
+        shuffle moves the (compressed) query-term blocks themselves.
+        Partials accumulate in query-term order (qidx), the exact
+        float-addition order of the reference's term-at-a-time loop
+        (query.py:78-83). Returns None for an empty/unknown query."""
         occurrences = self._weighted_occurrences(terms)
         if not occurrences:
-            return empty
-        wdf = spark.createDataFrame(
+            return None
+        wdf = self.spark.createDataFrame(
             occurrences, "term string, qidx int, wqt double"
         )
-        # Blocks partition the doc space, so each doc's score is COMPLETE
-        # within its block: one applyInPandas over (term, block) cells
-        # scores a whole block in numpy and emits only that block's
-        # top-k. The global answer is TakeOrderedAndProject over
-        # n_blocks*k tiny rows — no posting-row explosion, no doc_stats
-        # join (L_d rides inside the block, weights_bin), and the only
-        # shuffle moves the (compressed) query-term blocks themselves.
-        # Partials accumulate in query-term order (qidx), the exact
-        # float-addition order of the reference's term-at-a-time loop
-        # (query.py:78-83).
-        cells = (
+        return (
             self._postings_for_terms([t for t, _i, _w in occurrences])
             .join(F.broadcast(wdf), "term")
             .select("block_id", "qidx", "wqt", "postings_bin", "weights_bin")
         )
-        scored = self._scored_blocks(cells, _block_scorer(k), where)
+
+    def _block_id_col(self) -> Column:
+        return F.expr(f"CAST(doc_id DIV {self.block_span} AS LONG)").alias(
+            "block_id"
+        )
+
+    def _boosts_by_block(self, boost) -> DataFrame:
+        """(doc_id, block_id, boost) for docs whose multiplier differs
+        from 1.0, plus boost-NULL rows for tombstoned docs — ONE
+        co-shuffled right side carrying both the field weights and the
+        delete mask (see :func:`_cogroup_boosted`). The docs scan is
+        column-pruned to doc_id + the boost expression's inputs, and
+        the ``!= 1.0`` filter keeps the exchanged rows O(boosted docs),
+        not O(corpus) — a role boost over transcripts ships only the
+        boosted roles' ids."""
+        b = F.expr(boost) if isinstance(boost, str) else boost
+        out = (
+            self.docs.select(
+                "doc_id",
+                self._block_id_col(),
+                b.cast("double").alias("boost"),
+            )
+            .where(F.col("boost") != 1.0)
+        )
+        tomb = self.tombstones
+        if tomb is not None:
+            out = out.join(
+                F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+            ).unionByName(
+                tomb.select(
+                    "doc_id",
+                    "block_id",
+                    F.lit(None).cast("double").alias("boost"),
+                )
+            )
+        return out
+
+    def _groups_by_block(self, group_col: str) -> DataFrame:
+        """(doc_id, block_id, group_key) for every LIVE doc — the
+        diversified path's right side. Tombstones are anti-joined out
+        here, and the scorer's inner merge then masks deleted docs for
+        free (a doc with no group row cannot rank)."""
+        out = self.docs.select(
+            "doc_id",
+            self._block_id_col(),
+            F.col(group_col).cast("string").alias("group_key"),
+        )
+        tomb = self.tombstones
+        if tomb is not None:
+            out = out.join(
+                F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+            )
+        return out
+
+    def ranked_query_boosted_df(
+        self, query: str, boost, k: int = DEFAULT_K
+    ) -> DataFrame:
+        """Metadata-boosted top-k: final score = tf-idf score × the
+        ``boost`` expression evaluated on the doc's metadata row (role,
+        tool, recency … — e.g. ``2.0 where role='assistant'``). The
+        BM25F-style field weighting for transcripts, executed as a
+        cogrouped per-block multiply BEFORE top-k truncation (see
+        :func:`_cogroup_boosted` for why truncation must come after).
+        ``boost`` is a Column or SQL string over the docs table; docs
+        not matched keep weight 1.0."""
+        terms = self._ranked_terms(query)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        cells = self._ranked_cells(terms) if terms else None
+        if cells is None:
+            return empty
+        scored = (
+            cells.groupBy("block_id")
+            .cogroup(self._boosts_by_block(boost).groupBy("block_id"))
+            .applyInPandas(_cogroup_boosted(k), "doc_id long, score double")
+        )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def ranked_query_diverse_df(
+        self,
+        query: str,
+        k: int = DEFAULT_K,
+        per_group: int = 2,
+        group_col: str = "conv_id",
+    ) -> DataFrame:
+        """Diversified top-k: at most ``per_group`` results from any
+        one group (default: conversation). Search-result diversity
+        for transcript corpora — a long conversation that matches the
+        query everywhere must not monopolize the page.
+
+        Execution: per-block scoring cogrouped with the block's
+        (doc_id, group_key) map applies the SAME cap per (block,
+        group) and per-block top-k (provably lossless — proof in
+        :func:`_cogroup_diverse`), then a window over the surviving
+        n_blocks×k rows re-caps globally and takes the final top-k.
+        Output: (doc_id, group_key, score)."""
+        from pyspark.sql import Window
+
+        terms = self._ranked_terms(query)
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, group_key string, score double"
+        )
+        cells = self._ranked_cells(terms) if terms else None
+        if cells is None:
+            return empty
+        scored = (
+            cells.groupBy("block_id")
+            .cogroup(self._groups_by_block(group_col).groupBy("block_id"))
+            .applyInPandas(
+                _cogroup_diverse(k, per_group),
+                "doc_id long, group_key string, score double",
+            )
+        )
+        w = Window.partitionBy("group_key").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= per_group)
+            .drop("rn")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def ranked_query_batch(
         self, queries: list[str], k: int = DEFAULT_K, pruned: bool = False

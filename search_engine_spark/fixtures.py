@@ -122,6 +122,32 @@ def synthetic_transcripts(
     return base.mapInPandas(gen, TRANSCRIPT_SCHEMA)
 
 
+def documents_as_multiturn(
+    documents: DataFrame, turns_per_conv: int = 7
+) -> DataFrame:
+    """Adapt ``documents`` to MULTI-TURN transcripts: consecutive docs
+    share a conversation (``conv = doc_id DIV turns_per_conv``) and
+    cycle roles (``role = _ROLES[doc_id % 3]``) — deterministic pure
+    functions of doc_id, so SQL oracles for conversation- or
+    role-aware retrieval can reconstruct both without a side table.
+    Text and doc order are untouched: an index built from this adapter
+    is bit-identical to one built from :func:`documents_as_transcripts`
+    (only the docs metadata table differs)."""
+    return documents.select(
+        F.format_string(
+            "conv%08d", F.expr(f"doc_id DIV {turns_per_conv}").cast("long")
+        ).alias("conv_id"),
+        (F.col("doc_id") % turns_per_conv).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in _ROLES]),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        (F.lit(_EPOCH) + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("ts"),
+    )
+
+
 def documents_as_transcripts(documents: DataFrame) -> DataFrame:
     """Adapt the driver-provided ``documents(doc_id, text, ...)`` table to
     the transcript shape (one conversation per source, doc order preserved)."""

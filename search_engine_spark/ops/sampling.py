@@ -77,6 +77,76 @@ def stratified_sample(
     )
 
 
+def domain_mix_rates(
+    counts: dict[str, int], targets: dict[str, float]
+) -> dict[str, float]:
+    """Per-domain keep rates realizing a target mixture.
+
+    Given observed per-domain row counts and target mixture proportions
+    (normalized to sum 1), the largest achievable sample with the exact
+    target mix downsamples every domain EXCEPT the scarcest-relative-to-
+    target one, which is kept whole::
+
+        scale  = min over domains of n_d / p_d   (sample total size)
+        rate_d = scale * p_d / n_d               (<= 1; == 1 at argmin)
+
+    Pure driver arithmetic over O(#domains) numbers — the expression is
+    written with the exact operation order the SQL oracle replicates
+    ((scale * p_d) / n_d), so the IEEE doubles agree bit-for-bit.
+    Domains absent from ``targets`` get rate 0 (dropped); domains in
+    ``targets`` but absent from the data make the mix unrealizable and
+    raise.
+    """
+    total_p = sum(targets.values())
+    if total_p <= 0:
+        raise ValueError("targets must have positive mass")
+    norm = {d: p / total_p for d, p in targets.items()}
+    missing = [d for d, p in norm.items() if p > 0 and not counts.get(d)]
+    if missing:
+        raise ValueError(f"target domains absent from data: {missing}")
+    scale = min(counts[d] / p for d, p in norm.items() if p > 0)
+    return {d: (scale * p) / counts[d] for d, p in norm.items() if p > 0}
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic sample matching a target domain mixture (the
+    training-data "source mixing" step: e.g. 60% web / 30% code / 10%
+    dialogue regardless of raw corpus skew).
+
+    One tiny aggregation (per-domain counts — O(#domains) rows to the
+    driver) solves the keep rates (:func:`domain_mix_rates`); membership
+    is then the usual content-hash threshold, so the draw is
+    reproducible across partitioning/cluster size and monotone if the
+    targets are rescaled. Expected sample sizes hit the target mix to
+    within hash-quantization (1/RESOLUTION); the scarcest domain is
+    kept in full. The rate thresholds use ``floor(rate * RESOLUTION)``
+    — the truncating form both Python and SQL engines compute
+    identically (CAST/round would half-even-round in some engines).
+    """
+    import math
+
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    rates = domain_mix_rates(counts, targets)
+    thresh: Column = F.lit(0)
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(value),
+            F.lit(int(math.floor(rate * RESOLUTION))),
+        ).otherwise(thresh)
+    return df.where(
+        sample_bucket(F.col(key_col).cast("string"), salt) < thresh
+    )
+
+
 def split_train_holdout(
     df: DataFrame,
     holdout_fraction: float = 0.01,

@@ -167,6 +167,85 @@ def fingerprints(
     )
 
 
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals.
+
+    The Gopher/MassiveText quality rules (Rae et al. 2021, §A1.1) drop
+    documents dominated by repeated content. Per doc:
+
+    * ``top_token_frac``    — occurrences of the most frequent token /
+      n_tokens (Gopher: "fraction of tokens in the most common word");
+    * ``top_bigram_frac``   — occurrences of the most frequent adjacent
+      bigram / (n_tokens - 1) ("fraction of characters in the most
+      common 2-gram", token-denominated here);
+    * ``adjacent_dup_frac`` — adjacent equal-token pairs / (n_tokens -
+      1), the stutter/"word word word" signal;
+    * ``repetitive``        — composite flag over the ROUNDED fractions
+      (so the flag is bit-stable across engines): top token > 0.3 OR
+      top bigram > 0.2 OR adjacent dups > 0.3.
+
+    Pure JVM-side higher-order-function projection — no shuffle, no
+    Python, scan-pruned to (id, text) at any scale. The top-count fold
+    is O(n·distinct) per row, which is negligible for turn-length texts
+    (transcript turns are tens of tokens); for book-length documents
+    swap in the explode+groupBy formulation.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    pairs_den = F.greatest(n - 1, F.lit(1))
+    top_tok = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda x: F.size(F.filter(toks, lambda y: y == x)),
+        )
+    )
+    adj = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: a == b,
+            ),
+            lambda e: e,
+        )
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_bg = F.when(
+        n >= 2,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bigrams),
+                lambda x: F.size(F.filter(bigrams, lambda y: y == x)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    top_token_frac = F.round(top_tok / n, 6)
+    top_bigram_frac = F.round(top_bg / pairs_den, 6)
+    adjacent_dup_frac = F.round(adj / pairs_den, 6)
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        top_token_frac.alias("top_token_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        adjacent_dup_frac.alias("adjacent_dup_frac"),
+        (
+            (top_token_frac > 0.3)
+            | (top_bigram_frac > 0.2)
+            | (adjacent_dup_frac > 0.3)
+        ).alias("repetitive"),
+    )
+
+
 def bigram_pairs(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:

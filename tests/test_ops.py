@@ -487,3 +487,83 @@ def test_write_training_shards(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 100
     assert {r["doc_id"] for r in back.collect()} == set(range(100))
+
+
+# --------------------------------------------------- repetition scores
+def test_repetition_scores_hand_computed(spark):
+    rows = [
+        (0, "a a a b"),          # stutter-heavy
+        (1, "w x y z"),          # all distinct
+        (2, "solo"),             # single token: pair metrics are 0
+        (3, "go stop go stop go stop"),  # repeated bigram, no adjacency
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in textstats.repetition_scores(df).collect()
+    }
+    r0 = got[0]
+    assert r0.n_tokens == 4
+    assert r0.top_token_frac == 0.75           # 'a' 3/4
+    assert r0.top_bigram_frac == 0.666667      # 'a a' 2/3
+    assert r0.adjacent_dup_frac == 0.666667    # (a,a) twice / 3 pairs
+    assert r0.repetitive
+    r1 = got[1]
+    assert r1.top_token_frac == 0.25
+    assert r1.adjacent_dup_frac == 0.0
+    assert r1.top_bigram_frac == pytest.approx(0.333333)  # all unique, 1/3
+    r2 = got[2]
+    assert r2.n_tokens == 1
+    assert r2.top_token_frac == 1.0
+    assert r2.top_bigram_frac == 0.0
+    assert r2.adjacent_dup_frac == 0.0
+    r3 = got[3]
+    assert r3.top_token_frac == 0.5            # 'go' 3/6
+    assert r3.top_bigram_frac == 0.6           # 'go stop' 3/5
+    assert r3.adjacent_dup_frac == 0.0
+    assert r3.repetitive
+
+
+def test_repetition_scores_no_shuffle(spark, docs):
+    plan = textstats.repetition_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection at any scale
+
+
+# --------------------------------------------------- domain mix sampling
+def test_domain_mix_rates_math():
+    from search_engine_spark.ops import sampling
+
+    rates = sampling.domain_mix_rates(
+        {"a": 100, "b": 50}, {"a": 0.5, "b": 0.5}
+    )
+    # b is scarcest relative to target -> kept whole; a downsampled to match
+    assert rates["b"] == 1.0
+    assert rates["a"] == pytest.approx(0.5)
+    with pytest.raises(ValueError):
+        sampling.domain_mix_rates({"a": 10}, {"a": 0.5, "missing": 0.5})
+    with pytest.raises(ValueError):
+        sampling.domain_mix_rates({"a": 10}, {"a": 0.0})
+
+
+def test_domain_mix_sample_scarcest_kept_whole(spark):
+    from search_engine_spark.ops import sampling
+
+    rows = [(i, "x", "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = sampling.domain_mix_sample(df, {"big": 0.5, "small": 0.5}, "lang")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 100           # scarcest domain kept in full
+    assert abs(counts["big"] - 100) <= 25   # hash-quantized match of the mix
+    # untargeted domains are dropped entirely
+    out2 = sampling.domain_mix_sample(df, {"small": 1.0}, "lang")
+    assert out2.where("lang = 'big'").count() == 0
+
+
+def test_domain_mix_sample_deterministic_and_nested(spark):
+    from search_engine_spark.ops import sampling
+
+    rows = [(i, "x", ["a", "b"][i % 2]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ids1 = {r.doc_id for r in sampling.domain_mix_sample(df, {"a": 0.7, "b": 0.3}, "lang").collect()}
+    ids2 = {r.doc_id for r in sampling.domain_mix_sample(df.repartition(7), {"a": 0.7, "b": 0.3}, "lang").collect()}
+    assert ids1 == ids2  # partitioning-invariant membership
