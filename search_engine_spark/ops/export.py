@@ -45,3 +45,55 @@ def write_training_shards(
         .json(path)
     )
     return int(obs.get["rows"])
+
+
+def conversation_threads(turns: DataFrame) -> DataFrame:
+    """Assemble transcript turns into per-conversation training samples
+    (the SFT/chat-format assembly step): one row per conversation with
+
+    * ``thread``     — turns in ``turn_idx`` order rendered as
+      ``"role: text"`` lines joined by newlines (the flat chat-template
+      form a tokenizer consumes),
+    * ``thread_md5`` — content fingerprint of the rendered thread
+      (conversation-level exact-dedup key — feed to
+      :func:`..dedup.exact_duplicates`-style grouping to drop repeated
+      conversations wholesale),
+    * ``n_turns`` / ``n_tokens`` — length accounting for packing and
+      budget decisions.
+
+    One shuffle on ``conv_id`` (partial-agg'd collect_list, merged
+    per conversation); determinism does not depend on arrival order
+    because the collected (turn_idx, role, text) structs are
+    ``sort_array``-ed before rendering. Conversations are bounded
+    (thousands of turns, not billions), so per-group state stays
+    small at any corpus scale; skew would come only from a degenerate
+    single-conversation corpus.
+    """
+    from pyspark.sql import functions as F
+
+    ntok = F.size(F.split(F.col("text"), r"\s+"))
+    agg = (
+        turns.select("conv_id", "turn_idx", "role", "text", ntok.alias("ntok"))
+        .groupBy("conv_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("turn_idx", "role", "text"))
+            ).alias("ts"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+    )
+    thread = F.array_join(
+        F.transform(
+            F.col("ts"),
+            lambda s: F.concat_ws(": ", s["role"], s["text"]),
+        ),
+        "\n",
+    )
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "n_tokens",
+        thread.alias("thread"),
+        F.md5(thread).alias("thread_md5"),
+    )

@@ -592,3 +592,61 @@ def spelling_candidates(
         .where(F.col("dist") <= max_dist)
         .select("word", "dist", "df")
     )
+
+
+def fuzzy_expansions(
+    docs: DataFrame,
+    words: list[str],
+    max_dist: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(word, term, dist): vocabulary terms within ``max_dist`` edits of
+    each query word — Lucene FuzzyQuery's expansion step. One codegen'd
+    ``levenshtein`` projection over the (vocab-sized, corpus-tiny) term
+    dictionary against a broadcast of the query words; the disk
+    engine's k-gram index is the sublinear-candidate variant of the
+    same semantics (``engine.find_spelling_candidates``)."""
+    tf = tf_table(docs, text_col, id_col)
+    vocab = term_stats(tf).select("term")
+    qdf = docs.sparkSession.createDataFrame(
+        [(w,) for w in sorted(set(words))], "word string"
+    )
+    return (
+        vocab.crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "dist", F.levenshtein(F.col("term"), F.col("word")).cast("int")
+        )
+        .where(F.col("dist") <= max_dist)
+        .select("word", "term", "dist")
+    )
+
+
+def fuzzy_ranked(
+    docs: DataFrame,
+    words: list[str],
+    max_dist: int = 2,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy ranked retrieval: expand each query word to every vocab
+    term within ``max_dist`` edits (:func:`fuzzy_expansions`), then
+    score the UNION of expansions term-at-a-time — each expansion
+    contributes with its own idf, so exact matches (low df inflation)
+    and typo variants rank naturally. The expansion list is collected
+    to the driver (O(expansions), bounded by the edit-distance ball)
+    and folded into the ranked plan as broadcast literals — the
+    corpus-sized scoring stays fully distributed."""
+    exp = sorted(
+        r["term"]
+        for r in fuzzy_expansions(docs, words, max_dist, text_col, id_col)
+        .select("term")
+        .distinct()
+        .collect()
+    )
+    if not exp:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, score double"
+        )
+    return ranked_topk(docs, exp, k, text_col, id_col)

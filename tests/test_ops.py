@@ -567,3 +567,46 @@ def test_domain_mix_sample_deterministic_and_nested(spark):
     ids1 = {r.doc_id for r in sampling.domain_mix_sample(df, {"a": 0.7, "b": 0.3}, "lang").collect()}
     ids2 = {r.doc_id for r in sampling.domain_mix_sample(df.repartition(7), {"a": 0.7, "b": 0.3}, "lang").collect()}
     assert ids1 == ids2  # partitioning-invariant membership
+
+
+# --------------------------------------------------- fuzzy ranked retrieval
+def test_fuzzy_expansions_and_ranking(spark):
+    from search_engine_spark import simple
+
+    rows = [
+        (0, "alpha table merge"),
+        (1, "alpha beta gamma"),
+        (2, "table table table"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exp = {r.term for r in simple.fuzzy_expansions(df, ["tabel"], 2).collect()}
+    assert "table" in exp
+    assert "gamma" not in exp
+    top = simple.fuzzy_ranked(df, ["tabel"], 2, k=5).collect()
+    got = [r.doc_id for r in top]
+    assert 0 in got and 2 in got and 1 not in got
+    # no expansions at all -> empty result, not an error
+    assert simple.fuzzy_ranked(df, ["zzzzzzzzzz"], 1, k=5).count() == 0
+
+
+# --------------------------------------------------- conversation threads
+def test_conversation_threads_assembly(spark):
+    import datetime as dt
+    import hashlib
+
+    from search_engine_spark.fixtures import TRANSCRIPT_SCHEMA
+    from search_engine_spark.ops import export
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [  # c1 turns arrive OUT of order: assembly must sort
+        ("c1", 1, "assistant", "world two", "", ts),
+        ("c1", 0, "user", "hello", "", ts),
+        ("c2", 0, "user", "solo", "", ts),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    got = {r.conv_id: r for r in export.conversation_threads(df).collect()}
+    c1 = got["c1"]
+    assert c1.thread == "user: hello\nassistant: world two"
+    assert c1.n_turns == 2 and c1.n_tokens == 3
+    assert c1.thread_md5 == hashlib.md5(c1.thread.encode()).hexdigest()
+    assert got["c2"].thread == "user: solo"
