@@ -56,11 +56,15 @@ def main() -> None:
 
     from search_engine_spark import simple
     from search_engine_spark.engine import TranscriptSearchEngine
-    from search_engine_spark.fixtures import documents_as_transcripts
+    from search_engine_spark.fixtures import (
+        documents_as_multiturn,
+        documents_as_transcripts,
+    )
     from search_engine_spark.ops import (
         components,
         decontam,
         dedup,
+        export,
         pii,
         sampling,
         sessions,
@@ -149,6 +153,20 @@ def main() -> None:
         ),
         ("wildcard_ranked", lambda: eng.ranked_query("s*m query")),
         (
+            # recency boost over half the corpus: the right cogroup
+            # side carries O(boosted docs) rows
+            "ranked_boosted",
+            lambda: eng.ranked_query_boosted_df(
+                "spark join fast", F.when(ts_pred, 2.0).otherwise(1.0), k=10
+            ).collect(),
+        ),
+        (
+            "ranked_diverse",
+            lambda: eng.ranked_query_diverse_df(
+                "spark join fast", k=10, per_group=2
+            ).collect(),
+        ),
+        (
             "conv_ranked",
             lambda: eng.ranked_conversations("spark join fast", k=10),
         ),
@@ -202,12 +220,39 @@ def main() -> None:
         ),
         ("embed_topk", lambda: similarity.cosine_topk(emb, qv, 10).collect()),
         (
+            "hybrid_rrf",
+            lambda: similarity.rrf_fuse(
+                [
+                    simple.ranked_topk(docs, ["spark", "join", "fast"], 50),
+                    similarity.cosine_topk(emb, qv, 50).select(
+                        F.col("vec_id").alias("doc_id"),
+                        F.col("cosine").alias("score"),
+                    ),
+                ],
+                k=10,
+            ).collect(),
+        ),
+        (
             "sessionize",
             lambda: sessions.session_stats(events, gap_minutes=1440)
             .agg(F.sum("n_events"))
             .collect(),
         ),
         ("keywords_top3", lambda: simple.keywords(docs, n=3).count()),
+        (
+            "fuzzy_ranked",
+            lambda: simple.fuzzy_ranked(docs, ["tabel", "merg"], k=10).collect(),
+        ),
+        (
+            "repetition_scores",
+            lambda: textstats.repetition_scores(docs).count(),
+        ),
+        (
+            "conversation_threads",
+            lambda: export.conversation_threads(
+                documents_as_multiturn(docs)
+            ).count(),
+        ),
         (
             "text_stats",
             lambda: textstats.quality_scores(docs)

@@ -20,7 +20,7 @@ Scale notes (10^9+ vectors):
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SEED = 42
@@ -72,6 +72,48 @@ def cosine_topk(
             id_col, cosine_expr(F.col(vec_col), q).alias("cosine")
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of bounded ranked lists — hybrid
+    retrieval's standard score-free combiner (Cormack et al. 2009):
+
+        rrf(d) = sum over lists L of 1 / (rrf_k + rank_L(d))
+
+    Each input is a TRUNCATED top-N list shaped (id, score); ranks are
+    assigned by (score desc, id asc) in a single-partition window,
+    which is correct and cheap precisely because the inputs are
+    k-bounded retrieval outputs (``ranked_topk``, ``cosine_topk``),
+    never corpus-sized — at any corpus scale the fusion input is
+    O(lists × N) rows. A doc absent from a list contributes 0 from it.
+    Rank-based, so the fusion is FP-exact across engines (the only
+    floats are 1/(rrf_k + integer)); contributions add in list order.
+    """
+    fused: DataFrame | None = None
+    for i, r in enumerate(rankings):
+        score_col = r.columns[1]  # (id, score) contract
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        rr = r.select(
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                / (F.lit(float(rrf_k)) + F.row_number().over(w))
+            ).alias(f"c{i}"),
+        )
+        fused = rr if fused is None else fused.join(rr, id_col, "full_outer")
+    total = F.coalesce(F.col("c0"), F.lit(0.0))
+    for i in range(1, len(rankings)):
+        total = total + F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+    return (
+        fused.select(id_col, F.round(total, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
     )
 

@@ -610,3 +610,19 @@ def test_conversation_threads_assembly(spark):
     assert c1.n_turns == 2 and c1.n_tokens == 3
     assert c1.thread_md5 == hashlib.md5(c1.thread.encode()).hexdigest()
     assert got["c2"].thread == "user: solo"
+
+
+# --------------------------------------------------- hybrid RRF fusion
+def test_rrf_fuse_hand_computed(spark):
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame([(3, 0.99), (4, 0.5)], "doc_id long, score double")
+    rows = similarity.rrf_fuse([a, b], k=10, rrf_k=60).collect()
+    got = {r.doc_id: r.rrf for r in rows}
+    assert got[3] == round(1 / 63 + 1 / 61, 6)  # rank 3 in a, rank 1 in b
+    assert got[1] == round(1 / 61, 6)
+    assert got[2] == round(1 / 62, 6)
+    assert got[4] == round(1 / 62, 6)
+    # full order: doc 3 fused highest; 2 and 4 tie -> doc_id asc
+    assert [r.doc_id for r in rows] == [3, 1, 2, 4]
