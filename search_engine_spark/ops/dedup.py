@@ -237,6 +237,67 @@ def minhash_near_dup_pairs(
     return jaccard_verify(cands, sh, id_col).where(F.col("jaccard") >= threshold)
 
 
+def incremental_near_dup_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE_K,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.7,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-dups of an INCOMING batch against an EXISTING corpus —
+    the append-time dedup gate: (id_new, id_old, jaccard).
+
+    Candidates are (new, old) band-key collisions ONLY: new×new pairs
+    are the in-batch :func:`minhash_near_dup_pairs` job's business and
+    old×old pairs are assumed already resolved, so per append the join
+    touches O(batch bands × colliding corpus bands) rows, never the
+    corpus cross product. Signatures are per-doc (independent of the
+    rest of the corpus), so banding the sides separately is identical
+    to banding the union. Oversized CORPUS buckets (> ``max_bucket``
+    docs sharing a band key — boilerplate that exact dedup should have
+    caught) are dropped before the join, mirroring
+    :func:`lsh_candidate_pairs`.
+
+    In a production pipeline the corpus side's band table and shingle
+    sizes are a stored byproduct of the previous run (banding is
+    embarrassingly parallel and append-only); here they are recomputed
+    from ``corpus_df`` for self-containment.
+    """
+    sh_new = shingles(new_df, text_col, id_col, k).localCheckpoint()
+    sh_old = shingles(corpus_df, text_col, id_col, k).localCheckpoint()
+    b_new = minhash_bands(
+        minhash_signatures_from_shingles(sh_new, id_col, n_hashes),
+        id_col, n_hashes, bands,
+    )
+    b_old = minhash_bands(
+        minhash_signatures_from_shingles(sh_old, id_col, n_hashes),
+        id_col, n_hashes, bands,
+    )
+    osz = b_old.groupBy("band", "band_key").agg(F.count("*").alias("bsz"))
+    ob = b_old.join(osz, ["band", "band_key"]).where(
+        F.col("bsz") <= max_bucket
+    )
+    cands = (
+        b_new.select("band", "band_key", F.col(id_col).alias("id_a"))
+        .join(
+            ob.select("band", "band_key", F.col(id_col).alias("id_b")),
+            ["band", "band_key"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = jaccard_verify(cands, sh_new.unionByName(sh_old), id_col)
+    return verified.where(F.col("jaccard") >= threshold).select(
+        F.col("id_a").alias("id_new"),
+        F.col("id_b").alias("id_old"),
+        "jaccard",
+    )
+
+
 # ------------------------------------------------------------- n-gram jaccard
 def ngram_jaccard_pairs(
     df: DataFrame,

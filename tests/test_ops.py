@@ -626,3 +626,14 @@ def test_rrf_fuse_hand_computed(spark):
     assert got[4] == round(1 / 62, 6)
     # full order: doc 3 fused highest; 2 and 4 tie -> doc_id asc
     assert [r.doc_id for r in rows] == [3, 1, 2, 4]
+
+
+# --------------------------------------------------- incremental dedup gate
+def test_incremental_near_dups_cross_batch_only(spark, docs):
+    new = docs.where("doc_id >= 3")  # "incoming batch": 3 (dup of 0), 4
+    old = docs.where("doc_id < 3")   # "existing corpus": 0, 1, 2
+    got = dedup.incremental_near_dup_pairs(new, old, threshold=0.7).collect()
+    pairs = {(r.id_new, r.id_old): r.jaccard for r in got}
+    assert pairs[(3, 0)] == 1.0  # exact dup caught across the boundary
+    for n, o in pairs:  # orientation: only new x old, never within-side
+        assert n >= 3 and o < 3
