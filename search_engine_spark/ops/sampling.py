@@ -147,6 +147,74 @@ def domain_mix_sample(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Largest deterministic PREFIX sample whose total whitespace-token
+    count fits ``budget_tokens`` — "give me exactly N tokens of this
+    corpus" for training-budget planning.
+
+    Docs are totally ordered by (h % n_buckets, h, key) where h is the
+    salted content hash — an unbiased, reproducible shuffle order —
+    and the sample is the maximal prefix with running token sum <=
+    budget (prefix, not knapsack: the first doc that would overflow
+    stops the sample, so membership never depends on partitioning).
+
+    A naive running sum is a single-partition window over the corpus;
+    instead the prefix is resolved in two phases: (1) one tiny
+    aggregation of per-bucket token totals (``n_buckets`` rows to the
+    driver, prefix-summed there) finds the BOUNDARY bucket; (2) every
+    bucket before it is taken whole with a plain filter, and only the
+    boundary bucket's ~corpus/n_buckets rows get the exact
+    within-bucket running sum. All-integer arithmetic — bit-identical
+    across engines. Size ``n_buckets`` so one bucket fits an executor
+    (at 10^12 turns and n_buckets = 2^20, a bucket is ~10^6 rows).
+    """
+    from pyspark.sql import Window
+
+    keyed = F.concat_ws("\x1f", F.lit(salt), F.col(key_col).cast("string"))
+    h = h60(keyed)
+    coarse = (h % F.lit(n_buckets)).alias("_tb_bucket")
+    ntok = F.size(F.split(F.col(text_col), r"\s+")).alias("_tb_ntok")
+    base = df.withColumns({"_tb_bucket": coarse, "_tb_ntok": ntok, "_tb_h": h})
+    per_bucket = {
+        r["_tb_bucket"]: r["t"]
+        for r in base.groupBy("_tb_bucket")
+        .agg(F.sum("_tb_ntok").alias("t"))
+        .collect()
+    }
+    cum = 0
+    boundary = None
+    remaining = budget_tokens
+    for b in sorted(per_bucket):
+        if cum + per_bucket[b] > budget_tokens:
+            boundary = b
+            remaining = budget_tokens - cum
+            break
+        cum += per_bucket[b]
+    drop = ["_tb_bucket", "_tb_ntok", "_tb_h"]
+    if boundary is None:  # whole corpus fits
+        return base.drop(*drop)
+    whole = base.where(F.col("_tb_bucket") < boundary)
+    w = (
+        Window.partitionBy("_tb_bucket")
+        .orderBy(F.asc("_tb_h"), F.asc(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    partial = (
+        base.where(F.col("_tb_bucket") == boundary)
+        .withColumn("_tb_run", F.sum("_tb_ntok").over(w))
+        .where(F.col("_tb_run") <= remaining)
+        .drop("_tb_run")
+    )
+    return whole.unionByName(partial).drop(*drop)
+
+
 def split_train_holdout(
     df: DataFrame,
     holdout_fraction: float = 0.01,

@@ -637,3 +637,28 @@ def test_incremental_near_dups_cross_batch_only(spark, docs):
     assert pairs[(3, 0)] == 1.0  # exact dup caught across the boundary
     for n, o in pairs:  # orientation: only new x old, never within-side
         assert n >= 3 and o < 3
+
+
+# --------------------------------------------------- token-budget sampling
+def test_token_budget_sample_prefix_rule(spark):
+    from search_engine_spark.ops import sampling
+
+    rows = [(i, " ".join(["w"] * 10)) for i in range(100)]  # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampling.token_budget_sample(df, 250)
+    got = out.collect()
+    assert len(got) == 25  # 250 tokens / 10 per doc, exact
+    assert set(out.columns) == {"doc_id", "text"}  # helper cols dropped
+    # nested: a bigger budget strictly extends the same prefix
+    small = {r.doc_id for r in got}
+    big = {r.doc_id for r in sampling.token_budget_sample(df, 500).collect()}
+    assert small < big and len(big) == 50
+    # partitioning-invariant membership
+    rep = {r.doc_id for r in sampling.token_budget_sample(df.repartition(7), 250).collect()}
+    assert rep == small
+    # budget >= corpus -> everything
+    assert sampling.token_budget_sample(df, 10_000).count() == 100
+    # tiny bucket count still honors the exact boundary
+    assert (
+        sampling.token_budget_sample(df, 255, n_buckets=2).count() == 25
+    )  # 26th doc would overflow (260 > 255)
