@@ -246,6 +246,104 @@ def repetition_scores(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    w: int = 4,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm, simplified to min-per-window): (id, fp) rows.
+
+    Token k-gram hashes are scanned with a width-``w`` window; each
+    window contributes its MINIMUM hash, and the distinct minima are
+    the doc's fingerprint set. Guarantee: two documents sharing a
+    token run of length >= w + k - 1 share at least one fingerprint,
+    while the expected fingerprint density is only ~2/(w+1) of the
+    k-gram count — the robust, sparse local-similarity key used for
+    plagiarism/overlap detection (join docs on ``fp`` and count
+    collisions; compose with the decontamination reporter for
+    eval-overlap sweeps).
+
+    Pure JVM higher-order-function projection + one explode — no
+    shuffle, no Python. Texts shorter than k tokens hash the whole
+    text (mirroring the shingler's degenerate case); hash sequences
+    shorter than ``w`` use one whole-sequence window.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    n_sh = F.greatest(n - (k - 1), F.lit(1))
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: h31(F.concat_ws(" ", F.slice(toks, i, F.least(F.lit(k), n)))),
+    )
+    nh = F.size(shingle_hashes)
+    width = F.least(F.lit(w), nh)
+    mins = F.transform(
+        F.sequence(F.lit(1), nh - width + 1),
+        lambda j: F.array_min(F.slice(shingle_hashes, j, width)),
+    )
+    return df.select(
+        id_col, F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
+def corpus_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-row corpus report card: the numbers a curation run starts
+    from. Columns: n_docs, n_tokens (whitespace), vocab_size,
+    n_exact_dup_docs (docs whose whitespace-normalized md5 appears
+    more than once), mean_quality, and per-language doc counts
+    (n_<lang> over :data:`LANG_PROFILES` + n_und).
+
+    Three partial-agg'd aggregations (per-doc projections -> scalar
+    aggs; vocab distinct; dup-group sizes) cross-joined into one row —
+    every stage map-side combinable, nothing corpus-sized on the
+    driver. ``mean_quality`` averages the 0.25-quantized per-doc
+    quality, so the float sum is exact and the mean is bit-stable
+    across engines and partitionings.
+    """
+    toks = _tokens(text_col)
+    per_doc = df.select(
+        F.size(toks).alias("ntok"),
+        quality_col(text_col).alias("q"),
+        pred_lang_col(text_col).alias("lang"),
+        F.md5(F.concat_ws(" ", toks)).alias("fp"),
+    )
+    langs = sorted(LANG_PROFILES) + ["und"]
+    base = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.round(F.avg("q"), 6).alias("mean_quality"),
+        *[
+            F.sum((F.col("lang") == lang).cast("long"))
+            .cast("long")
+            .alias(f"n_{lang}")
+            for lang in langs
+        ],
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("t"))
+        .agg(F.count_distinct("t").cast("long").alias("vocab_size"))
+    )
+    dups = (
+        per_doc.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_exact_dup_docs"))
+    )
+    return base.crossJoin(vocab).crossJoin(dups).select(
+        "n_docs",
+        "n_tokens",
+        "vocab_size",
+        "n_exact_dup_docs",
+        "mean_quality",
+        *[f"n_{lang}" for lang in langs],
+    )
+
+
 def bigram_pairs(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -662,3 +662,36 @@ def test_token_budget_sample_prefix_rule(spark):
     assert (
         sampling.token_budget_sample(df, 255, n_buckets=2).count() == 25
     )  # 26th doc would overflow (260 > 255)
+
+
+# --------------------------------------------------- winnowing fingerprints
+def test_winnow_guarantee_and_degenerate(spark):
+    from search_engine_spark.ops.hashing import py_h31
+
+    rows = [
+        (0, "p q r s t u tail0 x y"),
+        (1, "lead1 lead2 p q r s t u"),  # shares a 6-token run with doc 0
+        (2, "totally different words here now"),
+        (3, "x"),  # shorter than the shingle size
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps: dict[int, set] = {}
+    for r in textstats.winnow_fingerprints(df).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    # winnowing guarantee: a shared run of >= w + k - 1 = 6 tokens
+    # forces a shared fingerprint
+    assert fps[0] & fps[1]
+    assert not (fps[0] & fps[2])
+    assert fps[3] == {py_h31("x")}  # degenerate: whole text hashed
+
+
+def test_corpus_report_hand_computed(spark):
+    en = "the a is and of to in that it for"
+    rows = [(0, en), (1, en), (2, "xyz xyz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = textstats.corpus_report(df).collect()[0]
+    assert r.n_docs == 3 and r.n_tokens == 22
+    assert r.vocab_size == 11
+    assert r.n_exact_dup_docs == 2  # the two identical docs
+    assert r.mean_quality == 0.916667  # (1.0 + 1.0 + 0.75) / 3
+    assert r.n_en == 2 and r.n_und == 1 and r.n_de == 0
