@@ -289,6 +289,96 @@ def winnow_fingerprints(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    w: int = 4,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    — the MOSS overlap report: (id_a, id_b, n_shared), id_a < id_b.
+
+    Self-join of the (sparse) fingerprint table on ``fp``:
+    fingerprints are ~2/(w+1) of the k-gram count, so the join input
+    is a fraction of the token stream; fingerprints shared by more
+    than ``max_bucket`` docs are dropped before the join (ubiquitous
+    boilerplate runs — the same degenerate-bucket guard as the LSH
+    candidate join)."""
+    fps = winnow_fingerprints(df, w, k, text_col, id_col)
+    sized = fps.join(
+        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("bsz")), "fp"
+    ).where(F.col("bsz") <= max_bucket)
+    a = sized.select("fp", F.col(id_col).alias("id_a"))
+    b = sized.select("fp", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def unigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style language-model quality signal: per-doc mean unigram
+    negative log-probability under the corpus's own (add-one-smoothed)
+    unigram distribution — (id, n_tokens, mean_neg_logprob, rounded
+    6 dp). Low values = stereotypical text, high values = rare-token
+    soup; both tails are curation candidates.
+
+    p(t) = (count(t) + 1) / (total + vocab); the per-doc sum folds in
+    TOKEN POSITION ORDER (collect to a pos-sorted array, then one
+    sequential ``aggregate``), because a plain ``sum()`` aggregates in
+    partition-arrival order and float addition is not associative —
+    position-ordered folding is what makes the score bit-reproducible
+    across partitionings and engines. One explode + broadcast-joined
+    vocab probabilities + one groupBy; the vocab table is
+    corpus-tiny."""
+    toks = _tokens(text_col)
+    total_vocab = df.select(
+        F.sum(F.size(toks)).alias("total"),
+    ).first()
+    uni = (
+        df.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_vocab = uni.count()
+    total = int(total_vocab["total"] or 0)
+    denom = float(total + n_vocab)
+    lp = -F.log((F.col("c") + F.lit(1)).cast("double") / F.lit(denom))
+    probs = uni.select(F.col("t").alias("term"), lp.alias("nlp"))
+    exploded = df.select(
+        id_col, F.posexplode(toks).alias("pos", "term")
+    ).join(F.broadcast(probs), "term")
+    per_doc = (
+        exploded.groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "nlp"))
+                    ),
+                    lambda s: s["nlp"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("s") / F.col("n_tokens"), 6).alias("mean_neg_logprob"),
+    )
+
+
 def corpus_report(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -695,3 +695,34 @@ def test_corpus_report_hand_computed(spark):
     assert r.n_exact_dup_docs == 2  # the two identical docs
     assert r.mean_quality == 0.916667  # (1.0 + 1.0 + 0.75) / 3
     assert r.n_en == 2 and r.n_und == 1 and r.n_de == 0
+
+
+def test_winnow_overlap_pairs(spark):
+    rows = [
+        (0, "p q r s t u tail0 x y"),
+        (1, "lead1 lead2 p q r s t u"),
+        (2, "totally different words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in textstats.winnow_overlap_pairs(df, min_shared=1).collect()
+    }
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "a a"), (1, "a b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in textstats.unigram_logprob_scores(df).collect()}
+    # total=4 tokens, vocab=2 -> denom=6; p(a)=(3+1)/6, p(b)=(1+1)/6
+    nlp_a, nlp_b = -math.log(4 / 6.0), -math.log(2 / 6.0)
+    assert got[0].n_tokens == 2
+    assert got[0].mean_neg_logprob == round((nlp_a + nlp_a) / 2, 6)
+    assert got[1].mean_neg_logprob == round((nlp_a + nlp_b) / 2, 6)
+    # rare-token soup scores higher than stereotypical text
+    assert got[1].mean_neg_logprob > got[0].mean_neg_logprob
