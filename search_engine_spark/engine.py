@@ -288,21 +288,22 @@ def _cogroup_blocked_keyed(k: int | None):
     return run
 
 
-def _cogroup_boosted(k: int | None):
+def _cogroup_boosted(k: int | None, scorer_factory=None):
     """Field/metadata-boosted scoring adapter: the right cogroup side
     carries this block's (doc_id, boost) rows for docs whose boost
     multiplier differs from 1.0, plus boost-NULL rows for tombstoned
     docs (one co-shuffled side encodes both, see
-    :meth:`TranscriptSearchEngine._boosts_by_block`). The scorer runs
-    un-truncated (k=None — every doc's base score is complete within
-    its block), boosts multiply AFTER the tf-idf normalization (the
-    BM25F-style "field weight on the whole-doc score" form), and ONLY
-    THEN the per-block top-k applies — a boosted doc must be able to
-    displace an unboosted one and vice versa, so truncation before the
-    multiply would be wrong. Docs without a boost row keep weight 1.0;
-    at scale the right side is O(boosted docs + tombstones) per block,
-    not O(corpus)."""
-    inner = _block_scorer(None)
+    :meth:`TranscriptSearchEngine._boosts_by_block`). The scorer
+    (tf-idf by default; any ``_block_*_scorer`` factory, e.g. BM25)
+    runs un-truncated (k=None — every doc's base score is complete
+    within its block), boosts multiply AFTER the base-score
+    normalization (the BM25F-style "field weight on the whole-doc
+    score" form), and ONLY THEN the per-block top-k applies — a
+    boosted doc must be able to displace an unboosted one and vice
+    versa, so truncation before the multiply would be wrong. Docs
+    without a boost row keep weight 1.0; at scale the right side is
+    O(boosted docs + tombstones) per block, not O(corpus)."""
+    inner = (scorer_factory or _block_scorer)(None)
 
     def run(cells: pd.DataFrame, boosts: pd.DataFrame) -> pd.DataFrame:
         if len(cells) == 0:
@@ -1183,6 +1184,46 @@ class TranscriptSearchEngine:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    def bm25_query_boosted_df(
+        self,
+        query: str,
+        boost,
+        k: int = DEFAULT_K,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Metadata-boosted BM25 top-k — :meth:`ranked_query_boosted_df`
+        with the BM25 block scorer (same cogroup shape, same
+        multiply-after-normalize-before-truncate discipline; the boost
+        rides the accumulated BM25 score)."""
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        occurrences = self._bm25_occurrences(self._ranked_terms(query))
+        if not occurrences:
+            return empty
+        avgdl = self.total_tokens / self.num_docs
+        wdf = self.spark.createDataFrame(
+            occurrences, "term string, qidx int, wqt double"
+        )
+        cells = (
+            self._postings_for_terms([t for t, _i, _w in occurrences])
+            .join(F.broadcast(wdf), "term")
+            .select("block_id", "qidx", "wqt", "postings_bin", "doclens_bin")
+        )
+        scored = (
+            cells.groupBy("block_id")
+            .cogroup(self._boosts_by_block(boost).groupBy("block_id"))
+            .applyInPandas(
+                _cogroup_boosted(
+                    k,
+                    scorer_factory=lambda kk: _block_bm25_scorer(
+                        kk, k1, b, avgdl
+                    ),
+                ),
+                "doc_id long, score double",
+            )
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def ranked_query_batch(
         self, queries: list[str], k: int = DEFAULT_K, pruned: bool = False

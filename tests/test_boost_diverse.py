@@ -136,3 +136,33 @@ def test_diverse_and_boost_mask_deletes(spark, tmp_path):
     got_b = eng.ranked_query_boosted_df(QUERY, F.lit(1.0), k=10).collect()
     assert top not in [r.doc_id for r in got_d]
     assert top not in [r.doc_id for r in got_b]
+
+
+def test_bm25_boost_brute_force_multiblock(mb_engine):
+    rows = mb_engine.bm25_query_df(QUERY, k=100_000).collect()
+    base = {r.doc_id: r.score for r in rows}
+    roles = {
+        r.doc_id: r.role for r in mb_engine.docs.select("doc_id", "role").collect()
+    }
+    mult = {"assistant": 3.0, "tool": 0.25}
+    expected = sorted(
+        ((did, s * mult.get(roles[did], 1.0)) for did, s in base.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    boost = (
+        F.when(F.col("role") == "assistant", 3.0)
+        .when(F.col("role") == "tool", 0.25)
+        .otherwise(1.0)
+    )
+    got = mb_engine.bm25_query_boosted_df(QUERY, boost, k=10).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in expected]
+    for r, (_, s) in zip(got, expected):
+        assert r.score == pytest.approx(s, rel=1e-12)
+
+
+def test_bm25_boost_identity_equals_base(golden_engine):
+    base = golden_engine.bm25_query_df(QUERY, k=5).collect()
+    got = golden_engine.bm25_query_boosted_df(QUERY, F.lit(1.0), k=5).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in base
+    ]
