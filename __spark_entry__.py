@@ -10,7 +10,7 @@ Porter2 engine, ANN, and multimodal entries get oracles via
 materialized deterministic inputs (stemmed-tf dump; inlined
 hyperplane / centroid literals; fake-feature dump — each re-derived
 by the same pure-Python/numpy helpers the Spark plans use, see
-``contract.py``), so all 60 entries carry value-level oracles. The catalog
+``contract.py``), so all 70 entries carry value-level oracles. The catalog
 also covers the curation surface (composed pipeline, PII scan/redact,
 benchmark decontamination, dedup groups, deterministic sampling,
 context packing, keyword extraction), events analytics (sessionization,
@@ -18,8 +18,11 @@ rolling windows, quantiles), and the round-4 query extensions (NEAR/k
 proximity, metadata-filtered ranked retrieval, facet counts, PMI
 collocations, snippets, standing-query percolation, tombstone-delete
 ranked semantics, conversation-level ranked rollup, more-like-this,
-role-boosted ranking, per-conversation diversified top-k, Gopher-style
-repetition scores, and target-mixture domain sampling).
+role-boosted ranking — tf-idf and BM25 — per-conversation diversified
+top-k, fuzzy ranked retrieval, hybrid RRF retrieval, Gopher-style
+repetition scores, winnowing fingerprints + overlap pairs, unigram-LM
+quality, target-mixture / token-budget sampling, incremental near-dup
+gating, conversation-thread assembly, and the corpus report card).
 """
 
 from __future__ import annotations
