@@ -1919,6 +1919,51 @@ class TranscriptSearchEngine:
         )
         return sorted(r["word"] for r in rows)
 
+    # ------------------------------------------------------------------ fuzzy
+    def fuzzy_expand(self, word: str, max_dist: int = 2) -> list[str]:
+        """Vocabulary words within ``max_dist`` edits of ``word``,
+        candidate-pruned by the k-gram index: only words sharing at
+        least one gram of length >= 2 with ``$word$`` are read (the
+        length-1 grams are universal — every word's gram set contains
+        ``$`` — so they prune nothing and are excluded). One pruned
+        kgram scan + a codegen'd ``levenshtein`` filter; the driver
+        receives only the surviving words. Complete for query words of
+        >= 2*max_dist characters (``max_dist`` edits destroy at most
+        ``2*max_dist`` of ``$word$``'s len+1 bigrams); shorter words
+        may miss exotic rewrites — the same candidate trade the
+        reference's k-gram spell checker makes (``kgram.py:66-91``)."""
+        grams = sorted(g for g in kgrams(word) if len(g) >= 2)
+        if not grams:
+            return []
+        rows = (
+            self.kgrams.where(F.col("gram").isin(grams))
+            .select("word")
+            .distinct()
+            .withColumn("dist", F.levenshtein(F.lit(word), F.col("word")))
+            .where(F.col("dist") <= max_dist)
+            .collect()
+        )
+        return sorted(r["word"] for r in rows)
+
+    def fuzzy_ranked_query_df(
+        self, query: str, k: int = DEFAULT_K, max_dist: int = 2
+    ) -> DataFrame:
+        """Fuzzy ranked retrieval (Lucene FuzzyQuery shape) over the
+        index: each query word expands to the vocabulary words within
+        ``max_dist`` edits (:meth:`fuzzy_expand` — k-gram-pruned, so
+        candidate I/O is O(query grams), not O(vocabulary)); the
+        DISTINCT stems of all expansions are scored as a union, each
+        with its own idf, through the standard per-block ranked plan."""
+        words = {remove_special_characters(w) for w in query.split()}
+        cands: set[str] = set()
+        for w in sorted(words):
+            if w:
+                cands.update(self.fuzzy_expand(w, max_dist))
+        stems = sorted({query_normalize(w) for w in cands})
+        if not stems:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self._score_terms_df(stems, k)
+
     # --------------------------------------------------------------- spelling
     def _terms_present(self, words: set[str]) -> set[str]:
         """Subset of ``words`` that exist in the term dictionary — one

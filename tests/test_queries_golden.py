@@ -281,3 +281,26 @@ def test_suggest_prefix(golden_engine):
     assert golden_engine.suggest("TE!", 5) == ["test"]  # case/specials
     assert golden_engine.suggest("zz") == []
     assert golden_engine.suggest("###") == []
+
+
+# ------------------------------------------------------------------ fuzzy
+def test_fuzzy_expand_kgram_pruned(golden_engine):
+    exp = golden_engine.fuzzy_expand("documant")
+    assert "document" in exp
+    assert "test" not in exp
+
+
+def test_fuzzy_ranked_exact_word_zero_dist_equals_ranked(golden_engine):
+    base = golden_engine.ranked_query_df("document", k=5).collect()
+    got = golden_engine.fuzzy_ranked_query_df(
+        "document", k=5, max_dist=0
+    ).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in base
+    ]
+
+
+def test_fuzzy_ranked_typo_finds_docs(golden_engine):
+    got = golden_engine.fuzzy_ranked_query_df("documant", k=5).collect()
+    assert got  # the typo still retrieves the document-family docs
+    assert {r.doc_id for r in got} & {0, 1, 4}
