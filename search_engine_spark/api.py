@@ -161,6 +161,26 @@ class SearchService:
         assert self.engine is not None, "call buildindex first"
         return {"suggestions": self.engine.suggest(prefix, k=k)}
 
+    # ---- POST /stats (extension: index dashboard card) --------------------
+    def stats(self) -> dict:
+        """Index statistics: corpus counts straight from the meta
+        snapshot (no Spark jobs) plus the dictionary size (one count
+        over the corpus-tiny terms table). Bounded output by
+        construction — a handful of scalars at any index size."""
+        assert self.engine is not None, "call buildindex first"
+        e = self.engine
+        return {
+            "stats": {
+                "num_docs": e.num_docs,
+                "num_live": e.num_live,
+                "num_deleted": e.num_deleted,
+                "total_tokens": e.total_tokens,
+                "vocab_size": int(e.terms.count()),
+                "block_span": e.block_span,
+                "term_buckets": e.term_buckets,
+            }
+        }
+
     # ---- delete (no reference endpoint; the takedown path) ----------------
     def delete(self, doc_ids) -> dict:
         """Tombstone-delete docs from the open index — list of ids or a

@@ -299,6 +299,8 @@ class _Handler(BaseHTTPRequestHandler):
                 out = svc.conversations(form["query"], k=int(form.get("k", 10)))
             elif self.path == "/similar":
                 out = svc.similar(int(form["doc_id"]), k=int(form.get("k", 10)))
+            elif self.path == "/stats":
+                out = svc.stats()
             else:
                 self._send({"error": "not found"}, status=404)
                 return

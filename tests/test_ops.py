@@ -726,3 +726,38 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[1].mean_neg_logprob == round((nlp_a + nlp_b) / 2, 6)
     # rare-token soup scores higher than stereotypical text
     assert got[1].mean_neg_logprob > got[0].mean_neg_logprob
+
+
+# --------------------------------------------------- curation CLI entry
+def test_curate_run_cli(spark, tmp_path):
+    import glob
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import curate_run
+    finally:
+        sys.path.pop(0)
+    out = str(tmp_path / "shards")
+    metrics = curate_run.main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out,
+            "--min-quality", "0.5",
+        ]
+    )
+    assert metrics["n_input"] == 500
+    assert 0 < metrics["n_curated"] <= 500
+    assert metrics["n_written"] == metrics["n_curated"]  # no packing
+    assert glob.glob(out + "/*.json.gz")
+    # packed variant rolls windows instead of raw rows
+    out2 = str(tmp_path / "packed")
+    m2 = curate_run.main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out2,
+            "--min-quality", "0.5",
+            "--pack-budget", "500",
+        ]
+    )
+    assert 0 < m2["n_written"] < m2["n_curated"]

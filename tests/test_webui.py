@@ -161,3 +161,13 @@ def test_similar_endpoint(ui):
     res = post(base, "/similar", {"doc_id": 0, "k": 3})
     docs = [h["doc_id"] for h in res["similar"]]
     assert docs and 0 not in docs
+
+
+def test_stats_endpoint(ui):
+    base, _ = ui
+    res = post(base, "/stats", {})
+    s = res["stats"]
+    assert s["num_docs"] == 5 and s["num_live"] == 5
+    assert s["num_deleted"] == 0
+    assert s["total_tokens"] > 0 and s["vocab_size"] > 0
+    assert s["block_span"] >= 1 and s["term_buckets"] >= 1
