@@ -266,6 +266,11 @@ def incremental_near_dup_pairs(
     sizes are a stored byproduct of the previous run (banding is
     embarrassingly parallel and append-only); here they are recomputed
     from ``corpus_df`` for self-containment.
+
+    Doc ids must be DISJOINT between the two sides (the builder's
+    append path guarantees this — ids are never reused): a doc present
+    in both would double its shingle rows in the union the verifier
+    scans, corrupting its Jaccard denominators.
     """
     sh_new = shingles(new_df, text_col, id_col, k).localCheckpoint()
     sh_old = shingles(corpus_df, text_col, id_col, k).localCheckpoint()
