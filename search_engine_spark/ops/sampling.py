@@ -147,6 +147,23 @@ def domain_mix_sample(
     )
 
 
+def budget_boundary(
+    per_bucket: dict[int, int], budget_tokens: int
+) -> tuple[int | None, int]:
+    """Phase-1 resolution for :func:`token_budget_sample`: scanning
+    buckets in id order, return (boundary_bucket, remaining_tokens) —
+    the first bucket whose total would overflow the budget and the
+    budget left for its internal prefix — or (None, budget) when the
+    whole corpus fits. Pure driver arithmetic over O(n_buckets) ints;
+    property-tested against a flat brute-force prefix scan."""
+    cum = 0
+    for b in sorted(per_bucket):
+        if cum + per_bucket[b] > budget_tokens:
+            return b, budget_tokens - cum
+        cum += per_bucket[b]
+    return None, budget_tokens
+
+
 def token_budget_sample(
     df: DataFrame,
     budget_tokens: int,
@@ -188,15 +205,7 @@ def token_budget_sample(
         .agg(F.sum("_tb_ntok").alias("t"))
         .collect()
     }
-    cum = 0
-    boundary = None
-    remaining = budget_tokens
-    for b in sorted(per_bucket):
-        if cum + per_bucket[b] > budget_tokens:
-            boundary = b
-            remaining = budget_tokens - cum
-            break
-        cum += per_bucket[b]
+    boundary, remaining = budget_boundary(per_bucket, budget_tokens)
     drop = ["_tb_bucket", "_tb_ntok", "_tb_h"]
     if boundary is None:  # whole corpus fits
         return base.drop(*drop)

@@ -199,3 +199,74 @@ def test_gate_fused_no_join_no_shuffle(spark, documents_df):
         (r["doc_id"], r["pred_lang"], r["quality"]) for r in joined.collect()
     }
     assert got and got == want
+
+
+# ------------------------------------------------ property: budget boundary
+def test_budget_boundary_matches_flat_prefix_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_engine_spark.ops.sampling import budget_boundary
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=50), max_size=20),
+        st.integers(min_value=0, max_value=600),
+    )
+    def check(bucket_totals, budget):
+        per_bucket = dict(enumerate(bucket_totals))
+        boundary, remaining = budget_boundary(per_bucket, budget)
+        # brute force: take whole buckets in order while they fit
+        cum = 0
+        expect_boundary = None
+        for b, t in enumerate(bucket_totals):
+            if cum + t > budget:
+                expect_boundary = b
+                break
+            cum += t
+        assert boundary == expect_boundary
+        if boundary is None:
+            assert remaining == budget
+        else:
+            # remaining = budget minus all whole buckets before the
+            # boundary; always >= 0 and < the boundary bucket's total
+            assert remaining == budget - cum
+            assert 0 <= remaining < bucket_totals[boundary]
+
+    check()
+
+
+def test_domain_mix_rates_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_engine_spark.ops.sampling import domain_mix_rates
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.tuples(
+                st.integers(min_value=1, max_value=10_000),  # count
+                st.floats(min_value=0.01, max_value=1.0),    # target mass
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def check(spec):
+        counts = {d: c for d, (c, _p) in spec.items()}
+        targets = {d: p for d, (_c, p) in spec.items()}
+        rates = domain_mix_rates(counts, targets)
+        # every rate is a valid probability and the scarcest-vs-target
+        # domain is kept whole
+        assert all(0.0 < r <= 1.0 + 1e-12 for r in rates.values())
+        assert any(abs(r - 1.0) < 1e-9 for r in rates.values())
+        # expected sample sizes realize the target mix exactly
+        total_p = sum(targets.values())
+        sizes = {d: rates[d] * counts[d] for d in rates}
+        total = sum(sizes.values())
+        for d, p in targets.items():
+            assert abs(sizes[d] / total - p / total_p) < 1e-9
+
+    check()
