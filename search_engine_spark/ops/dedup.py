@@ -439,3 +439,103 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------- span dedup
+def duplicate_span_occurrences(
+    df: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, start) of every w-token window whose exact text occurs
+    at more than one (doc, start) position corpus-wide.
+
+    The distributed form of the exact-substring dedup step from Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), at token-window granularity instead of suffix-array byte
+    granularity: a window is duplicated if its text appears at >= 2
+    positions anywhere in the corpus (cross-doc OR repeated within one
+    doc).
+
+    Scale shape (100 TB): the window STRING never leaves the projection
+    -- each occurrence is reduced to ``(id, start, xxhash64(window))``
+    before the exchange, so both shuffles move ~20-byte rows: one
+    groupBy-count on the hash (map-side partial agg; count only, never
+    a collect_list, so a boilerplate window shared by millions of docs
+    costs one long per partition), then a left-semi join of occurrences
+    against the duplicated-hash set (AQE skew-split handles hot
+    hashes). A 64-bit hash collision could over-mark a unique window as
+    duplicated (P ~ n^2/2^65); the value-level oracle groups by the
+    window string, so a green hash-match also certifies no collision
+    fired at test scale.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    win_t = "array<struct<start:int,h:bigint>>"
+    wins = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(w - 1)),
+            lambda i: F.struct(
+                i.alias("start"),
+                F.xxhash64(F.concat_ws(" ", F.slice(toks, i, w))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.lit(None).cast(win_t))
+    occ = (
+        df.select(F.col(id_col), F.explode(wins).alias("_w"))
+        .select(id_col, F.col("_w.start").alias("start"), F.col("_w.h").alias("h"))
+    )
+    dup_h = occ.groupBy("h").count().where(F.col("count") > 1).select("h")
+    return occ.join(dup_h, "h", "left_semi").select(id_col, "start")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per doc: text with every duplicated w-token span blanked out.
+
+    Returns ``(id_col, n_tokens, n_removed, clean_text)`` where
+    ``clean_text`` keeps, in order, exactly the tokens not covered by
+    any duplicated window from :func:`duplicate_span_occurrences`
+    (token p is covered by a window starting at s iff
+    ``s <= p <= s+w-1``). Docs shorter than ``w`` tokens pass through
+    unchanged; a doc that is wall-to-wall boilerplate comes out with
+    ``clean_text = ''`` (filter on ``n_removed < n_tokens`` to drop
+    such husks, mirroring the paper's removal-then-refilter pipeline).
+
+    The coverage test is a JVM higher-order-function projection
+    (``filter((tok, i) -> !exists(starts, ...))``) -- O(n_tokens *
+    n_dup_spans) per doc, with n_dup_spans = 0 for the untouched
+    majority; no Python in the plan. The only data moved beyond
+    :func:`duplicate_span_occurrences`'s hash shuffles is the per-doc
+    sorted ``starts`` array joined back onto the corpus (rows exist
+    only for docs that have at least one duplicated span).
+    """
+    occ = duplicate_span_occurrences(df, w, text_col, id_col)
+    starts = occ.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("start")).alias("_ds_starts")
+    )
+    base = df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_ds_t"))
+    j = base.join(starts, id_col, "left").select(
+        F.col(id_col),
+        F.col("_ds_t"),
+        F.coalesce("_ds_starts", F.array().cast("array<int>")).alias("_ds_starts"),
+    )
+    kept = F.filter(
+        F.col("_ds_t"),
+        lambda tok, i: ~F.exists(
+            F.col("_ds_starts"),
+            lambda s: ((i + F.lit(1)) >= s) & ((i + F.lit(1)) <= s + F.lit(w - 1)),
+        ),
+    )
+    n = F.size("_ds_t")
+    return j.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        (n - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

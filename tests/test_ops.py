@@ -761,3 +761,73 @@ def test_curate_run_cli(spark, tmp_path):
         ]
     )
     assert 0 < m2["n_written"] < m2["n_curated"]
+
+
+# ------------------------------------------------------------ span dedup
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    span = "one two three four five six seven eight"  # 8 tokens, shared
+    rows = [
+        (0, f"alpha {span} beta"),
+        (1, f"gamma delta {span}"),
+        (2, "unrelated text with no duplicated spans at all here"),
+        (3, "tiny doc"),  # shorter than w
+        (4, f"{span} {span}"),  # within-doc repeat
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_remove_duplicate_spans_golden(span_docs):
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(span_docs, w=8).collect()
+    }
+    assert out[0]["clean_text"] == "alpha beta"
+    assert out[0]["n_removed"] == 8 and out[0]["n_tokens"] == 10
+    assert out[1]["clean_text"] == "gamma delta"
+    assert out[2]["n_removed"] == 0
+    assert out[2]["clean_text"] == "unrelated text with no duplicated spans at all here"
+    assert out[3] ["n_removed"] == 0 and out[3]["clean_text"] == "tiny doc"
+
+
+def test_remove_duplicate_spans_within_doc_and_husk(span_docs):
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(span_docs, w=8).collect()
+    }
+    # doc 4 is two copies of the span: every window covering either copy
+    # is duplicated, so the doc reduces to an empty husk
+    assert out[4]["n_tokens"] == 16
+    assert out[4]["n_removed"] == 16
+    assert out[4]["clean_text"] == ""
+
+
+def test_remove_duplicate_spans_matches_bruteforce(spark, span_docs):
+    w = 8
+    rows = {r["doc_id"]: r["text"] for r in span_docs.collect()}
+    # brute force in python
+    from collections import Counter
+    occ = Counter()
+    for t in rows.values():
+        toks = t.split(" ")
+        for i in range(len(toks) - w + 1):
+            occ[" ".join(toks[i : i + w])] += 1
+    expect = {}
+    for d, t in rows.items():
+        toks = t.split(" ")
+        covered = set()
+        for i in range(len(toks) - w + 1):
+            if occ[" ".join(toks[i : i + w])] > 1:
+                covered.update(range(i, i + w))
+        kept = [tok for p, tok in enumerate(toks) if p not in covered]
+        expect[d] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in dedup.remove_duplicate_spans(span_docs, w=w).collect()
+    }
+    assert got == expect
+
+
+def test_remove_duplicate_spans_plan_is_jvm_only(span_docs):
+    plan = dedup.remove_duplicate_spans(span_docs, w=8)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # pure HOF / hash / join plan
