@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from search_engine_spark.ops.hashing import M31, h31
+from search_engine_spark.ops.hashing import M31, h31, h60
 
 # Tiny stopword profiles for the n-gram/stopword-ratio language ID
 # heuristic (fastText/CLD-style signal, reduced to function-word hits).
@@ -520,4 +520,63 @@ def collocations(
         )
         .orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
         .limit(k)
+    )
+
+
+# ------------------------------------------------- hashed linear classifier
+# fastText/CCNet-style quality-classifier INFERENCE: each token hashes
+# into one of CLF_BUCKETS feature buckets, each bucket carries a fixed
+# weight, and a document's score is the mean bucket weight (bag-of-
+# words linear model). The weights here are a deterministic md5-derived
+# stand-in for trained parameters (this sandbox trains nothing); the
+# deliverable is the evaluation plumbing — per-token feature hashing,
+# inline weight lookup, and a score that is bit-reproducible across
+# engines and partitionings. Weights are exact sixteenths in
+# [-0.5, +0.5], so the per-doc sum of <=10^4 of them is exact in
+# float64 (multiples of 1/16 well below 2^52) — addition order cannot
+# change it, which is what makes the score order-independent and the
+# DuckDB oracle value-identical. Real deployments swap `weight_map`
+# for a broadcast map column or a model-file lookup; the plan shape
+# (pure projection, zero shuffle, whole-stage codegen) is unchanged.
+CLF_BUCKETS = 1024
+CLF_LEVELS = 17  # weights in {-8..+8}/16
+_CLF_US = "\x1f"
+
+
+def clf_weight_col(tok: Column, buckets: int = CLF_BUCKETS) -> Column:
+    """Weight of one token: bucket = h60('clf' US lower(tok)) % B,
+    weight = (h60('w' US bucket) % 17 - 8) / 16."""
+    b = h60(F.concat_ws(_CLF_US, F.lit("clf"), F.lower(tok))) % F.lit(buckets)
+    wh = h60(F.concat_ws(_CLF_US, F.lit("w"), b.cast("string"))) % F.lit(
+        CLF_LEVELS
+    )
+    return (wh - F.lit(8)).cast("double") / F.lit(16.0)
+
+
+def hashed_classifier_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = CLF_BUCKETS,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Per-doc linear-classifier score + keep decision.
+
+    Columns: (id, n_tokens, clf_score = round(mean weight, 6),
+    keep = unrounded mean >= threshold). Pure projection — no shuffle,
+    no UDF; at 100 TB this is a map-only pass fused into whatever scan
+    feeds it."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    ssum = F.aggregate(
+        F.transform(toks, lambda t: clf_weight_col(t, buckets)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mean = F.when(n > 0, ssum / n).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.round(mean, 6).alias("clf_score"),
+        (mean >= F.lit(threshold)).alias("keep"),
     )

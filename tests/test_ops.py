@@ -831,3 +831,40 @@ def test_remove_duplicate_spans_matches_bruteforce(spark, span_docs):
 def test_remove_duplicate_spans_plan_is_jvm_only(span_docs):
     plan = dedup.remove_duplicate_spans(span_docs, w=8)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan  # pure HOF / hash / join plan
+
+
+def test_hashed_classifier_scores(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha alpha alpha"), (2, "x")],
+        ["doc_id", "text"],
+    )
+    out = textstats.hashed_classifier_scores(df).orderBy("doc_id").collect()
+    assert [r["n_tokens"] for r in out] == [4, 3, 1]
+    # the score is the mean of exact sixteenths -> n * score is an
+    # integer multiple of 1/16 (exactness claim from the docstring)
+    for r in out:
+        v = r["clf_score"] * r["n_tokens"] * 16
+        assert abs(v - round(v)) < 1e-6
+    # a doc of one repeated token scores exactly that token's weight
+    single = textstats.hashed_classifier_scores(
+        spark.createDataFrame([(9, "alpha")], ["doc_id", "text"])
+    ).collect()[0]
+    assert out[1]["clf_score"] == single["clf_score"]
+    # keep decision consistent with the sign of the score
+    for r in out:
+        if r["clf_score"] > 0:
+            assert r["keep"]
+        if r["clf_score"] < 0:
+            assert not r["keep"]
+
+
+def test_hashed_classifier_partition_invariant(spark):
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.lit("tok"), (F.col("id") % 7).cast("string"), F.lit("pad")
+        ).alias("text"),
+    )
+    a = textstats.hashed_classifier_scores(df.coalesce(1)).orderBy("doc_id").collect()
+    b = textstats.hashed_classifier_scores(df.repartition(8)).orderBy("doc_id").collect()
+    assert a == b
