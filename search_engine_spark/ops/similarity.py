@@ -449,3 +449,128 @@ def ivf_probes(centroids: np.ndarray, query_vec, n_probe: int) -> list[int]:
         np.linalg.norm(centroids, axis=1) * np.linalg.norm(q) + 1e-12
     )
     return [int(i) for i in np.argsort(-sims, kind="stable")[:n_probe]]
+
+
+# ------------------------------------------------ int8 scalar quantization
+# The 100 TB memory lever for embedding search: float32 vectors
+# scalar-quantize to int8 (4x smaller, SIMD-friendly integer dot
+# products), the shortlist is ranked on the quantized dot, and only the
+# shortlist is re-scored at full precision. Codes are per-vector
+# symmetric absmax (the faiss/SQ8 scheme): q_i = round_half_up(x_i /
+# absmax * 127). The per-vector scale folds the L2 norm in —
+# s = absmax / (l2 * 127) — so the approximate COSINE of two vectors is
+# (sum q_a*q_b) * s_a * s_b: qdot*s_a*s_b ≈ dot/(l2_a*l2_b). Folding
+# the norm into the scale (instead of normalizing before quantizing)
+# keeps the integer codes magnitude-free AND makes ranking angle-based,
+# matching cosine_topk. Every step is engine-portable: absmax, l2, the
+# x/absmax*127 division, and floor(.+0.5) are identical fixed-order
+# IEEE expressions in Spark, DuckDB, and Python; the integer dot is
+# exact — so scores (not just ranks) are bit-identical everywhere.
+Q_SCALE = 127
+
+
+def quantize_cols(vec: Column) -> tuple[Column, Column]:
+    """array<float> -> (codes: array<int> in [-127,127], scale: double).
+
+    ``qdot(a, b) * s_a * s_b`` approximates ``cosine(a, b)`` because the
+    L2 norm is folded into each vector's scale."""
+    am = F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30),
+    )
+    l2 = F.greatest(norm_expr(vec), F.lit(1e-30))
+    q = F.transform(
+        vec,
+        lambda x: F.floor(
+            x.cast("double") / am * F.lit(Q_SCALE) + F.lit(0.5)
+        ).cast("int"),
+    )
+    return q, am / (l2 * F.lit(float(Q_SCALE)))
+
+
+def py_quantize(vec) -> tuple[list[int], float]:
+    """Driver-side twin of :func:`quantize_cols` for query vectors.
+
+    Arithmetic mirrors the Spark expressions operation-for-operation
+    (left-fold sum for l2, same division order) so the scale is the
+    bit-identical IEEE double."""
+    import math
+
+    am = max(max(abs(float(x)) for x in vec), 1e-30)
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    l2 = max(math.sqrt(acc), 1e-30)
+    q = [int(math.floor(float(x) / am * Q_SCALE + 0.5)) for x in vec]
+    return q, am / (l2 * float(Q_SCALE))
+
+
+def qdot_expr(qvec: Column, query_q: list[int]) -> Column:
+    """Integer dot product (exact, order-independent) as a long."""
+    lit_q = F.array(*[F.lit(int(v)) for v in query_q])
+    return F.aggregate(
+        F.zip_with(qvec, lit_q, lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_int8_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by int8-quantized approximate cosine:
+    (id, qdot:bigint, qscore:double = qdot * s_vec * s_query ≈ cosine).
+
+    One scan + TakeOrderedAndProject; at 100 TB the (q, scale) table is
+    the one you persist (4x smaller than float32), and this is the
+    cheap first pass. The ranking key is qscore rounded to 6 dp with an
+    id tiebreak: 1e-6 is far below int8 quantization error, and the
+    rounding makes the top-k boundary engine-portable (engines whose
+    float summation order differs in the last ulp would otherwise flip
+    near-tied rows)."""
+    qq, sq = py_quantize(query_vec)
+    q, s = quantize_cols(F.col(vec_col))
+    qdot = qdot_expr(q, qq)
+    return (
+        embeddings.select(
+            id_col,
+            qdot.alias("qdot"),
+            ((qdot.cast("double") * s) * F.lit(sq)).alias("qscore"),
+        )
+        .orderBy(F.round(F.col("qscore"), 6).desc(), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ann_int8_rerank_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    shortlist_mult: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize -> integer-dot shortlist (k * shortlist_mult) -> exact
+    float cosine rerank of the shortlist only: (id, cosine).
+
+    The rerank joins the k-bounded shortlist back to the source table
+    (broadcast: shortlist_mult*k rows), so full-precision arithmetic
+    touches O(k) vectors regardless of corpus size. Shortlist
+    membership is deterministic (bit-identical quantized scores, id
+    tiebreak), which is what makes the result engine-portable; recall
+    vs exact search is governed by shortlist_mult (int8 dot misranks
+    only near-ties)."""
+    short = ann_int8_topk(
+        embeddings, query_vec, k * shortlist_mult, id_col, vec_col
+    ).select(id_col)
+    q = _vec_lit([float(x) for x in query_vec])
+    return (
+        embeddings.join(F.broadcast(short), id_col)
+        .select(id_col, cosine_expr(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -868,3 +868,33 @@ def test_hashed_classifier_partition_invariant(spark):
     a = textstats.hashed_classifier_scores(df.coalesce(1)).orderBy("doc_id").collect()
     b = textstats.hashed_classifier_scores(df.repartition(8)).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_quantize_col_bounds_and_determinism(spark, emb):
+    qc, _ = similarity.quantize_cols(F.col("embedding"))
+    q = emb.select("vec_id", qc.alias("q")).collect()
+    for r in q:
+        assert all(-127 <= v <= 127 for v in r["q"])
+    # driver-side twin produces the identical quantization
+    row = emb.where("vec_id = 0").first()
+    spark_q = next(r["q"] for r in q if r["vec_id"] == 0)
+    assert similarity.py_quantize(row["embedding"])[0] == list(spark_q)
+
+
+def test_ann_int8_topk_finds_near_dup(spark, emb):
+    qv = emb.where("vec_id = 0").first()["embedding"]
+    top = similarity.ann_int8_topk(emb.where("vec_id <> 0"), qv, k=3).collect()
+    assert top[0]["vec_id"] == 1  # the planted near-dup wins on quantized cosine
+    assert top[0]["qscore"] > top[-1]["qscore"]
+
+
+def test_ann_int8_rerank_matches_exact_cosine(spark, emb):
+    qv = emb.where("vec_id = 0").first()["embedding"]
+    corpus = emb.where("vec_id <> 0")
+    reranked = similarity.ann_int8_rerank_topk(corpus, qv, k=5).collect()
+    exact = similarity.cosine_topk(corpus, qv, k=5).collect()
+    # shortlist of 4k kept every true top-5 candidate on this fixture,
+    # so the reranked result IS the exact result (ids and scores)
+    assert [r["vec_id"] for r in reranked] == [r["vec_id"] for r in exact]
+    for a, b in zip(reranked, exact):
+        assert a["cosine"] == pytest.approx(b["cosine"], abs=0)
