@@ -220,6 +220,10 @@ def main() -> None:
         ),
         ("embed_topk", lambda: similarity.cosine_topk(emb, qv, 10).collect()),
         (
+            "embed_int8_rerank",
+            lambda: similarity.ann_int8_rerank_topk(emb, qv, k=10).collect(),
+        ),
+        (
             "hybrid_rrf",
             lambda: similarity.rrf_fuse(
                 [

@@ -144,7 +144,19 @@ def dedup_groups(
     pairs = dedup.minhash_near_dup_pairs(
         df, text_col, id_col, k, n_hashes, bands, threshold
     ).select("id_a", "id_b")
-    comp = connected_components(pairs)
+    return groups_from_pairs(df, pairs, id_col)
+
+
+def groups_from_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resolve near-dup ``pairs`` (id_a, id_b) into labeled groups over
+    the full universe ``df``: (id, group_id, group_size, keep).
+
+    Shared tail of :func:`dedup_groups` / :func:`embed_dedup_groups` —
+    transitive closure, then a left join back to ``df`` so rows with no
+    near-duplicate form singleton groups, then one size aggregation."""
+    comp = connected_components(pairs.select("id_a", "id_b"))
     labeled = (
         df.select(id_col)
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")
@@ -160,6 +172,38 @@ def dedup_groups(
         "group_size",
         (F.col(id_col) == F.col("group_id")).alias("keep"),
     )
+
+
+def embed_dedup_groups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup grouping: embedding-LSH near-dup pairs (exact
+    cosine ≥ ``threshold`` on LSH-bucketed candidates) → transitive
+    closure → (id, group_id, group_size, keep).
+
+    The embedding-space twin of :func:`dedup_groups` — paraphrase-level
+    duplicates that share no shingles still cluster. Same scale shape:
+    bucket-join candidate generation (linear in n for non-degenerate
+    buckets), log-round star closure, one representative (smallest id)
+    kept per cluster."""
+    from search_engine_spark.ops import similarity
+
+    pairs = similarity.embedding_near_dup_pairs_lsh(
+        embeddings,
+        threshold=threshold,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=similarity.DEFAULT_SEED if seed is None else seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(F.col("id_a"), F.col("id_b"))
+    return groups_from_pairs(embeddings, pairs, id_col)
 
 
 def dedup_keep(

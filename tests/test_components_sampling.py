@@ -9,6 +9,7 @@ from search_engine_spark.ops.components import (
     connected_components,
     dedup_groups,
     dedup_keep,
+    embed_dedup_groups,
 )
 
 
@@ -91,6 +92,51 @@ def test_dedup_groups_and_keep(spark):
         for r in dedup_keep(df, threshold=0.5, n_hashes=8, bands=4).collect()
     )
     assert kept == [0, 3, 5]
+
+
+def test_embed_dedup_groups(spark):
+    # vectors 0/1/2 nearly parallel (one semantic cluster), 3/4
+    # parallel, 5 orthogonal to everything
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base_a = rng.standard_normal(8)
+    base_b = rng.standard_normal(8)
+    vecs = [
+        base_a,
+        base_a + rng.standard_normal(8) * 0.01,
+        base_a + rng.standard_normal(8) * 0.01,
+        base_b,
+        base_b * 2.0,  # same direction, different magnitude
+        rng.standard_normal(8),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in embed_dedup_groups(emb, threshold=0.95).collect()
+    }
+    assert len(rows) == 6  # every vector labeled exactly once
+    assert rows[0]["group_id"] == rows[1]["group_id"] == rows[2]["group_id"] == 0
+    assert rows[3]["group_id"] == rows[4]["group_id"] == 3
+    assert rows[5]["group_id"] == 5 and rows[5]["group_size"] == 1
+    assert [rows[i]["keep"] for i in range(6)] == [
+        True, False, False, True, False, True,
+    ]
+    # groups agree with union-find over the emitted pairs
+    from search_engine_spark.ops import similarity
+
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs_lsh(
+            emb, threshold=0.95
+        ).collect()
+    ]
+    want = _uf(pairs)
+    for vid, r in rows.items():
+        assert r["group_id"] == want.get(vid, vid)
 
 
 # ------------------------------------------------------------------ sampling
