@@ -57,7 +57,9 @@ def main() -> None:
     from search_engine_spark import simple
     from search_engine_spark.engine import TranscriptSearchEngine
     from search_engine_spark.fixtures import (
+        documents_as_agent_turns,
         documents_as_multiturn,
+        documents_as_noisy_turns,
         documents_as_transcripts,
     )
     from search_engine_spark.ops import (
@@ -255,6 +257,36 @@ def main() -> None:
             "conversation_threads",
             lambda: export.conversation_threads(
                 documents_as_multiturn(docs)
+            ).count(),
+        ),
+        (
+            "training_pairs",
+            lambda: export.training_pairs(
+                documents_as_multiturn(docs), context_turns=3
+            ).count(),
+        ),
+        (
+            "transcript_report",
+            lambda: export.transcript_report(
+                documents_as_noisy_turns(docs)
+            ).count(),
+        ),
+        (
+            "tool_stats",
+            lambda: export.tool_stats(
+                documents_as_agent_turns(docs)
+            ).collect(),
+        ),
+        (
+            "synonym_ranked",
+            lambda: simple.synonym_ranked(
+                docs, [["join", "merge"], ["fast", "quick"]], k=10
+            ).collect(),
+        ),
+        (
+            "term_trends",
+            lambda: simple.term_trends(
+                documents_as_transcripts(docs), ["key", "merge", "scan"], 100
             ).count(),
         ),
         (

@@ -159,3 +159,82 @@ def documents_as_transcripts(documents: DataFrame) -> DataFrame:
         F.lit("").alias("tool"),
         (F.lit(_EPOCH) + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("ts"),
     )
+
+
+#: deterministic tool names for the agent-turns adapter — generic
+#: agent-loop verbs, reconstructed in oracles as a doc_id CASE
+_TOOLS = ["search", "bash", "read_file", "web_fetch"]
+
+
+def documents_as_agent_turns(
+    documents: DataFrame, turns_per_conv: int = 7
+) -> DataFrame:
+    """:func:`documents_as_multiturn` with the ``tool`` column FILLED:
+    tool-role turns (``doc_id % 3 == 2``) carry ``tool =
+    _TOOLS[(doc_id DIV 5) % 4]`` (DIV 5 so consecutive tool turns in a
+    conversation — doc_ids 3 apart — sometimes repeat the same tool,
+    exercising retry detection), all other turns carry ``''``. Every
+    column stays a pure function of ``doc_id`` (oracle-reconstructible
+    without a side table), and text/doc order are untouched, so an
+    index built from this adapter is bit-identical to the single-turn
+    one."""
+    tool = F.when(
+        F.col("doc_id") % 3 == 2,
+        F.element_at(
+            F.array(*[F.lit(t) for t in _TOOLS]),
+            (F.expr("doc_id DIV 5") % 4).cast("int") + 1,
+        ),
+    ).otherwise(F.lit(""))
+    return documents.select(
+        F.format_string(
+            "conv%08d", F.expr(f"doc_id DIV {turns_per_conv}").cast("long")
+        ).alias("conv_id"),
+        (F.col("doc_id") % turns_per_conv).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in _ROLES]),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("role"),
+        F.col("text"),
+        tool.alias("tool"),
+        (F.lit(_EPOCH) + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("ts"),
+    )
+
+
+def documents_as_noisy_turns(documents: DataFrame) -> DataFrame:
+    """Adapt ``documents`` to transcripts with INJECTED structural
+    faults — the fixture for transcript-QC operators
+    (:func:`search_engine_spark.ops.export.transcript_report`). Every
+    fault is a pure function of ``doc_id`` so a SQL oracle reconstructs
+    the exact same turns without a side table:
+
+    * ``conv = doc_id DIV 5`` (5 turns per conversation),
+    * ``turn_idx = doc_id % 5``, bumped by +10 when ``doc_id % 11 ==
+      3`` — the bumped turn sorts to the END of its conversation,
+      leaving a hole at its base slot AND a jump to 1x (two index
+      gaps; at most one bump per conv since 5 < 11, so indexes stay
+      unique and sort order stays well-defined),
+    * ``role = _ROLES[(doc_id DIV 2) % 3]`` — adjacent same-role pairs
+      (broken user/assistant alternation) roughly every other turn,
+    * ``ts = epoch + doc_id sec``, except ``doc_id % 13 == 5`` runs 2 s
+      EARLY — plus the bumped turns carry their doc_id-based ts to the
+      end of the conv, so time goes backwards in turn order there too,
+    * ``text = ''`` when ``doc_id % 17 == 9`` (empty turns).
+    """
+    bumped = F.when(F.col("doc_id") % 11 == 3, F.lit(10)).otherwise(F.lit(0))
+    early = F.when(F.col("doc_id") % 13 == 5, F.lit(2)).otherwise(F.lit(0))
+    return documents.select(
+        F.format_string(
+            "conv%08d", F.expr("doc_id DIV 5").cast("long")
+        ).alias("conv_id"),
+        ((F.col("doc_id") % 5) + bumped).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in _ROLES]),
+            (F.expr("doc_id DIV 2") % 3).cast("int") + 1,
+        ).alias("role"),
+        F.when(F.col("doc_id") % 17 == 9, F.lit("")).otherwise(F.col("text")).alias("text"),
+        F.lit("").alias("tool"),
+        (
+            F.lit(_EPOCH)
+            + F.make_interval(secs=(F.col("doc_id") - early).cast("double"))
+        ).alias("ts"),
+    )

@@ -97,3 +97,169 @@ def conversation_threads(turns: DataFrame) -> DataFrame:
         thread.alias("thread"),
         F.md5(thread).alias("thread_md5"),
     )
+
+
+def training_pairs(turns: DataFrame, context_turns: int = 3) -> DataFrame:
+    """Extract (prompt, response) SFT training pairs from transcripts:
+    one row per ASSISTANT turn that has at least one preceding turn in
+    its conversation, with
+
+    * ``prompt``   — the up-to-``context_turns`` turns immediately
+      before it, rendered in turn order as ``"role: text"`` lines
+      (the same chat-template form as :func:`conversation_threads`),
+    * ``response`` — the assistant turn's text,
+    * ``n_prompt_tokens`` / ``n_response_tokens`` — whitespace-token
+      accounting of the RENDERED strings (what a tokenizer-ish budget
+      would see), for packing / budget decisions downstream.
+
+    One shuffle (the ``conv_id`` window); the frame is
+    ``ROWS BETWEEN context_turns PRECEDING AND 1 PRECEDING``, so
+    per-row window state is O(context_turns) regardless of
+    conversation length, and ``collect_list`` over an ORDERED row
+    frame is in frame (= turn) order, so the rendering is
+    deterministic on any cluster size. Filtering to assistant rows
+    happens AFTER the window (every turn can appear in a later turn's
+    context) but before anything corpus-sized materializes — the
+    output is O(assistant turns).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-context_turns, -1)
+    )
+    ctx = F.collect_list(F.struct("role", "text")).over(w)
+    prompt = F.array_join(
+        F.transform(F.col("_ctx"), lambda s: F.concat_ws(": ", s["role"], s["text"])),
+        "\n",
+    )
+    return (
+        turns.select("conv_id", "turn_idx", "role", "text", ctx.alias("_ctx"))
+        .where((F.col("role") == "assistant") & (F.size("_ctx") >= 1))
+        .select(
+            "conv_id",
+            "turn_idx",
+            prompt.alias("prompt"),
+            F.col("text").alias("response"),
+            F.size(F.split(prompt, r"\s+")).alias("n_prompt_tokens"),
+            F.size(F.split(F.col("text"), r"\s+")).alias("n_response_tokens"),
+        )
+    )
+
+
+def tool_stats(turns: DataFrame) -> DataFrame:
+    """Per-tool usage analytics over agent transcripts — the
+    operational summary an agent-pipeline owner reads before deciding
+    what to index or train on: one row per tool name with
+
+    * ``n_calls`` — tool-role turns invoking it,
+    * ``n_convs`` — distinct conversations that used it,
+    * ``avg_turn_idx`` — mean position in the conversation (early =
+      routing/setup tools, late = wrap-up tools), exact integer-sum /
+      count so the value is FP-identical cross-engine,
+    * ``n_retries`` — calls whose IMMEDIATELY PRECEDING tool call in
+      the same conversation used the same tool (consecutive same-tool
+      runs — retry storms and loop bugs surface here).
+
+    Two shuffles, both small: a ``conv_id`` window over ONLY tool-role
+    turns (O(tool turns), not the corpus — the filter runs before the
+    exchange), then a partial-agg'd ``groupBy(tool)`` whose output is
+    tool-cardinality (dozens of rows at any corpus size).
+    ``countDistinct`` is per-group exact; tool name cardinality is
+    bounded, so no skew concern.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    calls = turns.where((F.col("role") == "tool") & (F.col("tool") != ""))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("tool").over(w)
+    return (
+        calls.select(
+            "conv_id",
+            "turn_idx",
+            "tool",
+            (prev.isNotNull() & (prev == F.col("tool")))
+            .cast("long")
+            .alias("_retry"),
+        )
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.round(
+                F.sum("turn_idx").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_turn_idx"),
+            F.sum("_retry").alias("n_retries"),
+        )
+    )
+
+
+def transcript_report(turns: DataFrame) -> DataFrame:
+    """Per-conversation structural QC for transcript ingest — the
+    validation gate a training pipeline runs BEFORE indexing or SFT
+    assembly: one row per conversation with
+
+    * ``n_turns`` / ``n_empty`` — turn count and whitespace-only turns,
+    * ``first_role`` — who opens the conversation (SFT loaders
+      typically require ``user``),
+    * ``n_role_repeats`` — adjacent same-role turn pairs (broken
+      alternation; retry storms and logging bugs show up here),
+    * ``n_idx_gaps`` — adjacent ``turn_idx`` deltas != 1 (dropped or
+      duplicated turns),
+    * ``ts_monotonic`` — event time never decreases in turn order.
+
+    Same scale shape as :func:`conversation_threads`: ONE partial-agg'd
+    shuffle on ``conv_id``; arrival-order independence via
+    ``sort_array`` over (turn_idx, ...) structs; the adjacent-pair
+    scans are JVM higher-order functions over the per-conversation
+    array (bounded by conversation length, never corpus-sized).
+    Timestamps compare as exact integer microseconds.
+    """
+    from pyspark.sql import functions as F
+
+    agg = (
+        turns.select(
+            "conv_id",
+            F.struct(
+                "turn_idx",
+                "role",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                F.col("text").rlike(r"^\s*$").alias("empty"),
+            ).alias("t"),
+        )
+        .groupBy("conv_id")
+        .agg(F.sort_array(F.collect_list("t")).alias("ts"))
+    )
+
+    def _adjacent(pred):
+        # count of adjacent (ts[i-1], ts[i]) pairs satisfying pred
+        return F.size(
+            F.filter(
+                F.sequence(F.lit(2), F.size("ts")),
+                lambda i: pred(
+                    F.element_at("ts", i - 1), F.element_at("ts", i)
+                ),
+            )
+        )
+
+    n = F.size("ts")
+    return agg.select(
+        "conv_id",
+        n.cast("long").alias("n_turns"),
+        F.size(F.filter("ts", lambda t: t["empty"])).cast("long").alias("n_empty"),
+        F.element_at("ts", 1)["role"].alias("first_role"),
+        F.when(n >= 2, _adjacent(lambda a, b: a["role"] == b["role"]))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_role_repeats"),
+        F.when(n >= 2, _adjacent(lambda a, b: b["turn_idx"] - a["turn_idx"] != 1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_idx_gaps"),
+        F.when(n >= 2, _adjacent(lambda a, b: b["us"] < a["us"]) == 0)
+        .otherwise(F.lit(True))
+        .alias("ts_monotonic"),
+    )

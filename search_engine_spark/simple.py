@@ -134,6 +134,121 @@ def ranked_scores(
     )
 
 
+def synonym_ranked(
+    docs: DataFrame,
+    groups: list[list[str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Synonym-expanded ranked retrieval with Lucene ``SynonymQuery``
+    blending: each group of synonymous terms scores as ONE pseudo-term
+    — ``tf_g(doc) = sum`` of member tfs, ``df_g = `` docs containing
+    ANY member — so a document is not rewarded for matching several
+    spellings of the same concept (the failure mode of naive
+    OR-expansion, where "quick fast rapid" triple-counts). Scoring is
+    otherwise the engine's Q9 formula: ``score =
+    sum_g ln(1+N/df_g)·(1+ln tf_g) / L_d`` with L_d over the FULL
+    vocabulary, ties on smaller doc_id, 6-dp rounding.
+
+    Plan shape: the term→group map broadcasts (synonym tables are
+    KB-sized); group tf is one partial-agg'd shuffle over only the
+    matching postings; group df is a count over that already-grouped
+    table (O(matching docs × groups) rows, never the corpus); the
+    final accumulate reuses the grouped table. A term listed in two
+    groups contributes to both (Lucene allows overlapping
+    SynonymQueries); duplicates WITHIN a group are collapsed.
+    """
+    spark = docs.sparkSession
+    n_docs = docs.count()
+    tf = tf_table(docs, text_col, id_col)
+    weights = tf.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.pow(F.lit(1.0) + F.log("tf"), F.lit(2.0)))).alias("weight")
+    )
+    mapping = [(t, gi) for gi, g in enumerate(groups) for t in sorted(set(g))]
+    mdf = spark.createDataFrame(mapping, "term string, gid int")
+    gtf = (
+        tf.join(F.broadcast(mdf), "term")
+        .groupBy(id_col, "gid")
+        .agg(F.sum("tf").alias("gtf"))
+    )
+    gdf = gtf.groupBy("gid").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return (
+        gtf.join(F.broadcast(gdf), "gid")
+        .select(
+            id_col,
+            (
+                F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df"))
+                * (F.lit(1.0) + F.log("gtf"))
+            ).alias("partial"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("partial").alias("acc"))
+        .join(weights, id_col)
+        .select(id_col, F.round(F.col("acc") / F.col("weight"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def term_trends(
+    turns: DataFrame,
+    terms: list[str],
+    bucket_seconds: int = 3600,
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Term frequency over time — how often each query term appears
+    per tumbling event-time bucket, the trend/drift view a corpus owner
+    watches ("is 'error' spiking this week?"): one row per (term,
+    bucket) with ``n_turns`` (turns containing the term) and ``tf_sum``
+    (total occurrences). ``bucket`` is ``floor(epoch_seconds /
+    bucket_seconds)`` computed on exact integer microseconds, so
+    boundaries are identical cross-engine and across timezones
+    (session tz pins the NTZ→LTZ cast, as in :mod:`.ops.sessions`).
+
+    Scale shape: per-turn tf is computed IN PROJECTION — one
+    ``size(filter(tokens, = term))`` JVM higher-order function per
+    query term, so the corpus-sized token stream is never exploded and
+    there is NO pre-aggregation shuffle. The only exchange is the
+    final partial-agg'd ``groupBy(term, bucket)``: its map-side input
+    is at most ``len(terms)`` rows per turn (zero-tf pairs are dropped
+    first) and it combines down to |terms| x |buckets| rows. Query
+    term lists are small by construction (they inline as literals).
+    """
+    qt = sorted(set(terms))
+    toks = _tokens(text_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b = F.lit(int(bucket_seconds) * 1_000_000)
+    # exact integer bucketing: strip the remainder first so the double
+    # division is of an exact multiple (no FP boundary wobble)
+    bucket = ((us - F.pmod(us, b)) / b).cast("long")
+    def _eq(term: str):
+        # NB: a `lambda x, t=t:` default-arg closure would have arity 2,
+        # which F.filter dispatches as a (value, index) lambda
+        return lambda x: x == F.lit(term)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.size(F.filter(toks, _eq(t))).alias("tf"),
+            )
+            for t in qt
+        ]
+    )
+    return (
+        turns.select(bucket.alias("bucket"), F.explode(pairs).alias("p"))
+        .select("bucket", "p.term", "p.tf")
+        .where(F.col("tf") > 0)
+        .groupBy("term", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("tf").alias("tf_sum"),
+        )
+    )
+
+
 def ranked_groups(
     docs: DataFrame,
     query_terms: list[str],

@@ -898,3 +898,308 @@ def test_ann_int8_rerank_matches_exact_cosine(spark, emb):
     assert [r["vec_id"] for r in reranked] == [r["vec_id"] for r in exact]
     for a, b in zip(reranked, exact):
         assert a["cosine"] == pytest.approx(b["cosine"], abs=0)
+
+
+# --------------------------------------------------- SFT training pairs
+def test_training_pairs_hand_computed(spark):
+    import datetime as dt
+
+    from search_engine_spark.fixtures import TRANSCRIPT_SCHEMA
+    from search_engine_spark.ops import export
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [  # out of order on purpose: the window must sort by turn_idx
+        ("c1", 2, "assistant", "a two", "", ts),
+        ("c1", 0, "user", "u zero", "", ts),
+        ("c1", 1, "assistant", "a one", "", ts),
+        ("c1", 3, "user", "u three", "", ts),
+        ("c1", 4, "assistant", "a four", "", ts),
+        # opening assistant turn: no context -> no pair emitted
+        ("c2", 0, "assistant", "orphan", "", ts),
+        ("c2", 1, "user", "question", "", ts),
+        ("c2", 2, "assistant", "answer here", "", ts),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    got = {
+        (r.conv_id, r.turn_idx): r
+        for r in export.training_pairs(df, context_turns=3).collect()
+    }
+    # c1 turn 1: one context turn
+    assert got[("c1", 1)].prompt == "user: u zero"
+    assert got[("c1", 1)].response == "a one"
+    # c1 turn 2: two context turns, rendered in turn order
+    assert got[("c1", 2)].prompt == "user: u zero\nassistant: a one"
+    # c1 turn 4: window truncates to the 3 nearest preceding turns
+    assert got[("c1", 4)].prompt == (
+        "assistant: a one\nassistant: a two\nuser: u three"
+    )
+    assert got[("c1", 4)].n_prompt_tokens == 9  # 3 role labels + 6 words
+    assert got[("c1", 4)].n_response_tokens == 2
+    # c2 turn 0 (assistant with no context) is absent; user turns absent
+    assert ("c2", 0) not in got and ("c1", 3) not in got
+    # context keeps ALL preceding turns regardless of role
+    assert got[("c2", 2)].prompt == "assistant: orphan\nuser: question"
+    assert set(got) == {("c1", 1), ("c1", 2), ("c1", 4), ("c2", 2)}
+
+
+def test_training_pairs_single_shuffle(spark):
+    import datetime as dt
+
+    from search_engine_spark.fixtures import TRANSCRIPT_SCHEMA
+    from search_engine_spark.ops import export
+
+    ts = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame([("c", 0, "user", "x", "", ts)], TRANSCRIPT_SCHEMA)
+    plan = export.training_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # the conv_id window partitioning only
+
+
+# --------------------------------------------------- transcript QC report
+def test_transcript_report_hand_computed(spark):
+    import datetime as dt
+
+    from search_engine_spark.fixtures import TRANSCRIPT_SCHEMA
+    from search_engine_spark.ops import export
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [  # c1 arrives out of order; has every fault type
+        ("c1", 3, "assistant", "late", "", at(2)),  # ts goes backwards (3 < 4 slot)
+        ("c1", 0, "user", "hi", "", at(0)),
+        ("c1", 1, "assistant", "hello", "", at(1)),
+        ("c1", 2, "assistant", "again", "", at(5)),  # role repeat with turn 1
+        ("c1", 5, "user", "  ", "", at(6)),  # idx gap (3 -> 5) + empty text
+        # c2: single clean turn
+        ("c2", 0, "user", "solo", "", at(0)),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    got = {r.conv_id: r for r in export.transcript_report(df).collect()}
+    c1 = got["c1"]
+    assert c1.n_turns == 5 and c1.n_empty == 1
+    assert c1.first_role == "user"
+    assert c1.n_role_repeats == 2  # (1,2) and (2,3) assistant runs
+    assert c1.n_idx_gaps == 1  # 3 -> 5
+    assert c1.ts_monotonic is False  # at(5) then at(2)
+    c2 = got["c2"]
+    assert (c2.n_turns, c2.n_empty, c2.first_role) == (1, 0, "user")
+    assert c2.n_role_repeats == 0 and c2.n_idx_gaps == 0
+    assert c2.ts_monotonic is True
+
+
+def test_transcript_report_single_shuffle(spark):
+    import datetime as dt
+
+    from search_engine_spark.fixtures import TRANSCRIPT_SCHEMA
+    from search_engine_spark.ops import export
+
+    ts = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame([("c", 0, "user", "x", "", ts)], TRANSCRIPT_SCHEMA)
+    plan = export.transcript_report(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one conv_id aggregation
+
+
+def test_noisy_turns_adapter_faults_surface(spark):
+    """The QC fixture adapter injects every fault class transcript_report
+    counts — and each is a pure doc_id function (oracle-reconstructible)."""
+    from search_engine_spark.fixtures import documents_as_noisy_turns
+    from search_engine_spark.ops import export
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} text") for i in range(40)], "doc_id long, text string"
+    )
+    rep = export.transcript_report(documents_as_noisy_turns(docs)).collect()
+    assert sum(r.n_empty for r in rep) == 2  # doc_ids 9 and 26 (%17 == 9)
+    assert sum(r.n_idx_gaps for r in rep) > 0
+    assert sum(r.n_role_repeats for r in rep) > 0
+    assert any(not r.ts_monotonic for r in rep)
+
+
+# --------------------------------------------------- synonym-blended ranking
+def test_synonym_ranked_blends_not_double_counts(spark):
+    """A doc matching TWO spellings of one concept must not outscore a
+    doc with the same total tf of the concept (SynonymQuery semantics:
+    group tf = sum, group df = docs matching ANY member)."""
+    from search_engine_spark import simple
+
+    rows = [
+        (0, "fast fast car"),  # group tf 2 via one member
+        (1, "fast quick car"),  # group tf 2 via two members
+        (2, "slow car"),
+    ]
+    import math
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in simple.synonym_ranked(
+        df, [["fast", "quick"]], k=10
+    ).collect()}
+    assert set(got) == {0, 1}
+    # identical group tf (2) and group df (2) -> identical NUMERATOR;
+    # only the full-vocabulary length norm differs between the docs
+    w0 = math.sqrt((1 + math.log(2.0)) ** 2 + 1.0)  # {fast:2, car:1}
+    w1 = math.sqrt(3.0)  # {fast:1, quick:1, car:1}
+    assert got[0] * w0 == pytest.approx(got[1] * w1, abs=1e-5)
+    # naive OR-expansion would score doc 1's two members separately:
+    # ln(1+3/2) for fast + ln(1+3/1) for quick > the blended numerator
+    blended = math.log(1 + 3 / 2) * (1 + math.log(2.0))
+    naive = math.log(1 + 3 / 2) + math.log(1 + 3 / 1)
+    assert got[1] == pytest.approx(round(blended / w1, 6), abs=1e-6)
+    assert blended < naive
+
+
+def test_synonym_ranked_hand_computed(spark):
+    import math
+
+    from search_engine_spark import simple
+
+    rows = [
+        (0, "alpha beta"),
+        (1, "alpha alpha gamma"),
+        (2, "delta delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in simple.synonym_ranked(
+        df, [["alpha", "beta"]], k=10
+    ).collect()}
+    n = 3.0
+    # doc 0: group tf 2 (alpha+beta), df 2; weight = sqrt(2) (two tf-1 terms)
+    w0 = math.sqrt(2.0)
+    s0 = math.log(1 + n / 2) * (1 + math.log(2.0)) / w0
+    # doc 1: group tf 2 (alpha alpha), weight = sqrt((1+ln2)^2 + 1)
+    w1 = math.sqrt((1 + math.log(2.0)) ** 2 + 1.0)
+    s1 = math.log(1 + n / 2) * (1 + math.log(2.0)) / w1
+    assert got[0] == pytest.approx(round(s0, 6), abs=1e-6)
+    assert got[1] == pytest.approx(round(s1, 6), abs=1e-6)
+    assert 2 not in got
+
+
+def test_synonym_ranked_overlapping_groups_and_dups(spark):
+    from search_engine_spark import simple
+
+    rows = [(0, "alpha beta"), (1, "beta beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # duplicate member inside a group collapses; a term may sit in two
+    # groups (contributes to both) without erroring
+    out = simple.synonym_ranked(
+        df, [["alpha", "alpha", "beta"], ["beta"]], k=10
+    ).collect()
+    assert {r.doc_id for r in out} == {0, 1}
+
+
+# --------------------------------------------------- tool-call analytics
+def test_tool_stats_hand_computed(spark):
+    import datetime as dt
+
+    from search_engine_spark.fixtures import TRANSCRIPT_SCHEMA
+    from search_engine_spark.ops import export
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [  # out of order on purpose: retry detection must sort by turn_idx
+        ("c1", 3, "tool", "x", "bash", ts),
+        ("c1", 0, "user", "q", "", ts),
+        ("c1", 1, "tool", "x", "bash", ts),
+        ("c1", 2, "tool", "x", "bash", ts),   # retry of turn 1
+        ("c1", 5, "tool", "x", "search", ts),  # breaks the bash run
+        ("c1", 6, "tool", "x", "bash", ts),    # NOT a retry (search between)
+        ("c2", 0, "tool", "x", "bash", ts),    # first call in conv: no retry
+        ("c2", 1, "assistant", "a", "", ts),   # non-tool role ignored
+        ("c2", 2, "user", "u", "bash", ts),    # tool col but wrong role: ignored
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    got = {r.tool: r for r in export.tool_stats(df).collect()}
+    assert set(got) == {"bash", "search"}
+    b = got["bash"]
+    assert b.n_calls == 5 and b.n_convs == 2
+    # retries: c1 turns 2 and 3 follow a bash call; turns 1 (first), 6
+    # (search precedes) and c2 turn 0 (first in conv) are not retries
+    assert b.n_retries == 2
+    assert b.avg_turn_idx == pytest.approx((1 + 2 + 3 + 6 + 0) / 5, abs=1e-9)
+    s = got["search"]
+    assert (s.n_calls, s.n_convs, s.n_retries) == (1, 1, 0)
+
+
+def test_tool_stats_filters_before_exchange(spark):
+    """The conv window must run over ONLY tool-role turns — the corpus
+    never reaches the exchange."""
+    import datetime as dt
+
+    from search_engine_spark.fixtures import TRANSCRIPT_SCHEMA
+    from search_engine_spark.ops import export
+
+    ts = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame([("c", 0, "tool", "x", "bash", ts)], TRANSCRIPT_SCHEMA)
+    plan = export.tool_stats(df)._jdf.queryExecution().executedPlan().toString()
+    # filter sits below the first exchange (window partitioning)
+    first_exchange = plan.index("Exchange")
+    assert "Filter" in plan[first_exchange:]
+
+
+def test_agent_turns_adapter_tool_column(spark):
+    from search_engine_spark.fixtures import _TOOLS, documents_as_agent_turns
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i}") for i in range(30)], "doc_id long, text string"
+    )
+    rows = documents_as_agent_turns(docs).collect()
+    for r in rows:
+        did = int(r.conv_id[4:]) * 7 + r.turn_idx
+        if did % 3 == 2:
+            assert r.role == "tool" and r.tool == _TOOLS[(did // 5) % 4]
+        else:
+            assert r.tool == ""
+
+
+# --------------------------------------------------- term trends
+def test_term_trends_hand_computed(spark):
+    import datetime as dt
+
+    from search_engine_spark.fixtures import TRANSCRIPT_SCHEMA
+    from search_engine_spark import simple
+
+    t0 = dt.datetime(2026, 1, 1)  # epoch-aligned; bucket = floor(unix/100)
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) // 100
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        ("c", 0, "user", "err err ok", "", at(0)),      # bucket base
+        ("c", 1, "user", "err", "", at(99)),            # bucket base
+        ("c", 2, "user", "ok ok", "", at(100)),         # bucket base+1
+        ("c", 3, "user", "err ok err err", "", at(250)),  # bucket base+2
+        ("c", 4, "user", "nothing here", "", at(251)),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    got = {
+        (r.term, r.bucket): (r.n_turns, r.tf_sum)
+        for r in simple.term_trends(df, ["err", "ok"], bucket_seconds=100).collect()
+    }
+    assert got == {
+        ("err", base): (2, 3),
+        ("ok", base): (1, 1),
+        ("ok", base + 1): (1, 2),
+        ("err", base + 2): (1, 3),
+        ("ok", base + 2): (1, 1),
+    }
+
+
+def test_term_trends_single_shuffle(spark):
+    import datetime as dt
+
+    from search_engine_spark.fixtures import TRANSCRIPT_SCHEMA
+    from search_engine_spark import simple
+
+    ts = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame([("c", 0, "user", "x", "", ts)], TRANSCRIPT_SCHEMA)
+    plan = (
+        simple.term_trends(df, ["x", "y"], 60)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # per-turn tf is in-projection (HOFs) — only the final agg exchanges,
+    # and the corpus-sized token stream is never posexploded
+    assert plan.count("Exchange") == 1
+    assert "Generate posexplode" not in plan
