@@ -284,6 +284,18 @@ def main() -> None:
             ).collect(),
         ),
         (
+            "prf_ranked",
+            lambda: simple.prf_ranked(
+                docs, ["spark", "join", "fast"], k=10
+            ).collect(),
+        ),
+        (
+            "ann_recall_at_k",
+            lambda: similarity.ann_recall_at_k(
+                emb.where("vec_id <> 0"), qv, k=10
+            ).collect(),
+        ),
+        (
             "term_trends",
             lambda: simple.term_trends(
                 documents_as_transcripts(docs), ["key", "merge", "scan"], 100

@@ -574,3 +574,35 @@ def ann_int8_rerank_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ann_recall_at_k(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the int8-quantized ANN path against exhaustive
+    float cosine — the "measure, don't guess" evaluation every ANN
+    deployment needs before trusting the cheap path: ONE row
+    ``(k, n_overlap, recall)`` where ``n_overlap`` counts ids the two
+    top-k lists share and ``recall = n_overlap / k``.
+
+    Both arms are k-bounded TakeOrderedAndProject scans over the same
+    table (two passes, no materialized intermediate bigger than k
+    rows); the overlap join touches 2k rows. n_overlap is an exact
+    integer, and recall is one division of the same two numbers on any
+    engine, so the result is FP-identical cross-engine.
+    """
+    exact = cosine_topk(embeddings, query_vec, k, id_col, vec_col).select(id_col)
+    approx = ann_int8_topk(embeddings, query_vec, k, id_col, vec_col).select(id_col)
+    return (
+        exact.join(approx, id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .select(
+            F.lit(int(k)).alias("k"),
+            F.col("n_overlap"),
+            (F.col("n_overlap") / F.lit(float(k))).alias("recall"),
+        )
+    )

@@ -191,6 +191,53 @@ def synonym_ranked(
     )
 
 
+def prf_ranked(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    fb_docs: int = 5,
+    n_expansion: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback ranked retrieval (Rocchio/RM-style
+    two-pass): run the base tf-idf query, take its top ``fb_docs``
+    results as presumed-relevant feedback, pick the ``n_expansion``
+    terms most characteristic of that feedback set (highest feedback
+    document frequency, then total feedback tf, then term asc —
+    integer keys, so the selection is exact cross-engine), and re-rank
+    with the EXPANDED term set under the standard Q9 formula. Original
+    query terms are excluded from expansion candidates.
+
+    Scale shape: pass 1 is the standard :func:`ranked_topk` plan; the
+    expansion-term scan tokenizes ONLY the feedback docs (an
+    ``isin(fb_ids)`` pushdown BEFORE the analyzer — O(fb_docs) text,
+    never the corpus); pass 2 is again the standard plan with a wider
+    broadcast term dim. The two driver round-trips carry ``fb_docs``
+    ids and ``n_expansion`` strings — query-shaped scalars, the same
+    footprint as :meth:`engine.TranscriptSearchEngine.more_like_this`.
+    """
+    base = ranked_topk(docs, query_terms, fb_docs, text_col, id_col)
+    fb_ids = [r[id_col] for r in base.select(id_col).collect()]
+    orig = sorted(set(query_terms))
+    fb_tf = tf_table(
+        docs.where(F.col(id_col).isin(fb_ids)), text_col, id_col
+    )
+    exp_rows = (
+        fb_tf.where(~F.col("term").isin(orig))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("fb_df"),
+            F.sum("tf").alias("fb_tf"),
+        )
+        .orderBy(F.desc("fb_df"), F.desc("fb_tf"), F.asc("term"))
+        .limit(n_expansion)
+        .collect()
+    )
+    expanded = orig + [r["term"] for r in exp_rows]
+    return ranked_topk(docs, expanded, k, text_col, id_col)
+
+
 def term_trends(
     turns: DataFrame,
     terms: list[str],

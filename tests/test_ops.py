@@ -1203,3 +1203,76 @@ def test_term_trends_single_shuffle(spark):
     # and the corpus-sized token stream is never posexploded
     assert plan.count("Exchange") == 1
     assert "Generate posexplode" not in plan
+
+
+# --------------------------------------------------- pseudo-relevance feedback
+def test_prf_ranked_hand_computed(spark):
+    """Feedback docs pull in an expansion term that re-ranks a doc the
+    base query can't see at all."""
+    from search_engine_spark import simple
+
+    rows = [
+        (0, "spark engine tuning"),     # base hit; 'engine' in both fb docs
+        (1, "spark engine shuffle"),    # base hit
+        (2, "engine engine engine"),    # NO base term: only expansion finds it
+        (3, "unrelated words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base_ids = {
+        r.doc_id for r in simple.ranked_topk(df, ["spark"], 10).collect()
+    }
+    assert base_ids == {0, 1}
+    prf_ids = {
+        r.doc_id
+        for r in simple.prf_ranked(
+            df, ["spark"], k=10, fb_docs=2, n_expansion=1
+        ).collect()
+    }
+    # expansion candidates in fb docs {0,1}: engine df=2 beats
+    # tuning/shuffle df=1 -> expanded query = spark + engine -> doc 2 in
+    assert prf_ids == {0, 1, 2}
+    assert 3 not in prf_ids
+
+
+def test_prf_ranked_expansion_tiebreaks_are_integer(spark):
+    """fb_df ties fall to total fb tf, then term asc — all integers."""
+    from search_engine_spark import simple
+
+    rows = [
+        (0, "spark alpha beta beta"),
+        (1, "spark alpha beta"),
+        (2, "alpha only here"),
+        (3, "beta beta beta beta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # fb = {0,1}; candidates: alpha df2 tf2, beta df2 tf3 -> beta wins
+    out = {
+        r.doc_id
+        for r in simple.prf_ranked(
+            df, ["spark"], k=10, fb_docs=2, n_expansion=1
+        ).collect()
+    }
+    assert 3 in out and 2 not in out
+
+
+# --------------------------------------------------- ANN recall eval
+def test_ann_recall_at_k_perfect_and_degraded(spark):
+    import numpy as np
+
+    from search_engine_spark.ops import similarity
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [float(x) for x in vecs[0]]
+    row = similarity.ann_recall_at_k(
+        df.where("vec_id <> 0"), qv, k=10
+    ).collect()[0]
+    assert row.k == 10 and 0 <= row.n_overlap <= 10
+    assert row.recall == pytest.approx(row.n_overlap / 10.0, abs=0)
+    # int8 quantization of well-spread gaussians should recall most of
+    # the true top-10 (sanity: the approx arm is not garbage)
+    assert row.n_overlap >= 7
