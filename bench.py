@@ -284,6 +284,12 @@ def main() -> None:
             ).collect(),
         ),
         (
+            "bm25f_conv",
+            lambda: simple.bm25f_conv(
+                documents_as_multiturn(docs), ["spark", "join", "fast"], k=10
+            ).collect(),
+        ),
+        (
             "prf_ranked",
             lambda: simple.prf_ranked(
                 docs, ["spark", "join", "fast"], k=10

@@ -191,6 +191,123 @@ def synonym_ranked(
     )
 
 
+def bm25f_conv(
+    turns: DataFrame,
+    query_terms: list[str],
+    weights: dict[str, float] | None = None,
+    k: int = 10,
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """Conversation-level BM25F (Robertson/Zaragoza): the document is
+    the CONVERSATION and its fields are the turn ROLES, so an
+    assistant-said match can outweigh the same words in a tool dump.
+    Per field f: ``wtf_t += w_f * tf_{t,f} / (1 - b + b *
+    len_f/avglen_f)``; per term: ``idf_t * wtf_t / (k1 + wtf_t)``
+    (saturation applied ONCE on the blended tf — the point of BM25F
+    over naive per-field BM25 summation); idf is the BM25 form
+    ``ln(1 + (N - df + .5)/(df + .5))`` with df = conversations
+    matching in ANY field. Ties break on conv_id; scores round to 6dp.
+
+    Determinism: per-(conv, term, role) tfs are INTEGER conditional
+    aggregates (exact under any aggregation order), and both the
+    role-blend and the term-sum are written as FIXED-ORDER expression
+    trees over those integers (sorted roles / sorted terms), so the
+    float result is bit-identical on any engine evaluating the same
+    tree — no aggregation-order wobble. Default weights and b are
+    binary fractions for the same reason.
+
+    Scale shape: tokens filter to the query terms immediately after
+    the explode (nothing corpus-sized shuffles for tf); field lengths
+    are a second conv-keyed partial agg with no explode (``size
+    (split())`` per turn); corpus stats (N, df_t, total field lengths)
+    fold into the plan as literals — one tiny driver collect of
+    ``2 + |terms|`` integers, the same footprint as ``n_docs`` in
+    :func:`ranked_scores`.
+    """
+    weights = weights or {"user": 1.0, "assistant": 2.0, "tool": 0.5}
+    roles = sorted(weights)
+    qt = sorted(set(query_terms))
+
+    tok = turns.select(
+        "conv_id",
+        "role",
+        F.explode(_tokens("text")).alias("term"),
+    ).where(F.col("term").isin(qt))
+    # per-conv integer tf matrix: one column per (term, role)
+    tf_cols = [
+        F.sum(
+            ((F.col("term") == t) & (F.col("role") == r)).cast("long")
+        ).alias(f"tf_{ti}_{ri}")
+        for ti, t in enumerate(qt)
+        for ri, r in enumerate(roles)
+    ]
+    ctf = tok.groupBy("conv_id").agg(*tf_cols)
+    # per-conv integer field lengths (no explode: size(split) per turn)
+    len_cols = [
+        F.sum(
+            F.when(F.col("role") == r, F.size(_tokens("text"))).otherwise(
+                F.lit(0)
+            )
+        ).alias(f"len_{ri}")
+        for ri, r in enumerate(roles)
+    ]
+    clen = turns.groupBy("conv_id").agg(*len_cols)
+
+    # corpus scalars, folded as literals (exact integers driver-side)
+    totals = clen.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"len_{ri}").alias(f"tot_{ri}") for ri in range(len(roles))],
+    ).collect()[0]
+    n_convs = int(totals["n"])
+    # a field with zero tokens corpus-wide contributes tf = 0 everywhere;
+    # pin its avglen to 1.0 so the (irrelevant) denominator stays finite
+    avglen = {
+        ri: (float(totals[f"tot_{ri}"]) / n_convs) if totals[f"tot_{ri}"] else 1.0
+        for ri in range(len(roles))
+    }
+    dfs = ctf.agg(
+        *[
+            F.sum(
+                (
+                    sum(
+                        (F.col(f"tf_{ti}_{ri}") for ri in range(len(roles))),
+                        F.lit(0),
+                    )
+                    > 0
+                ).cast("long")
+            ).alias(f"df_{ti}")
+            for ti in range(len(qt))
+        ]
+    ).collect()[0]
+
+    import math
+
+    scored = ctf.join(clen, "conv_id")
+    score = F.lit(0.0)
+    for ti in range(len(qt)):
+        df_t = int(dfs[f"df_{ti}"])
+        idf = math.log(1.0 + (n_convs - df_t + 0.5) / (df_t + 0.5))
+        wtf = F.lit(0.0)
+        for ri in range(len(roles)):
+            denom = (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col(f"len_{ri}") / F.lit(avglen[ri])
+            )
+            wtf = wtf + (
+                F.lit(float(weights[roles[ri]]))
+                * F.col(f"tf_{ti}_{ri}")
+                / denom
+            )
+        score = score + F.lit(idf) * wtf / (F.lit(float(k1)) + wtf)
+    return (
+        scored.select("conv_id", F.round(score, 6).alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("conv_id"))
+        .limit(k)
+    )
+
+
 def prf_ranked(
     docs: DataFrame,
     query_terms: list[str],

@@ -1276,3 +1276,64 @@ def test_ann_recall_at_k_perfect_and_degraded(spark):
     # int8 quantization of well-spread gaussians should recall most of
     # the true top-10 (sanity: the approx arm is not garbage)
     assert row.n_overlap >= 7
+
+
+# --------------------------------------------------- BM25F conversations
+def test_bm25f_conv_hand_computed(spark):
+    import datetime as dt
+    import math
+
+    from search_engine_spark import simple
+    from search_engine_spark.fixtures import TRANSCRIPT_SCHEMA
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        # c1: 'fix' said by the assistant (weight 2.0)
+        ("c1", 0, "user", "please help", "", ts),
+        ("c1", 1, "assistant", "fix applied ok", "", ts),
+        # c2: 'fix' only inside a tool dump (weight 0.5)
+        ("c2", 0, "user", "please help", "", ts),
+        ("c2", 1, "tool", "fix applied ok", "", ts),
+        # c3: no match
+        ("c3", 0, "user", "nothing here", "", ts),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    w = {"user": 1.0, "assistant": 2.0, "tool": 0.5}
+    got = {r.conv_id: r.score for r in simple.bm25f_conv(df, ["fix"], w).collect()}
+    assert set(got) == {"c1", "c2"}
+    assert got["c1"] > got["c2"]  # assistant field outweighs tool field
+
+    # exact replication: N=3 convs, df=2; field lens and avgs
+    n, dfq, k1, b = 3, 2, 1.5, 0.75
+    idf = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+    # avg field lengths over all 3 convs: assistant 3/3, tool 3/3, user (2+2+2)/3
+    def score(role_w, fl, avg):
+        wtf = role_w * 1 / (1 - b + b * fl / avg)
+        return round(idf * wtf / (k1 + wtf), 6)
+
+    assert got["c1"] == pytest.approx(score(2.0, 3, 1.0), abs=1e-6)
+    assert got["c2"] == pytest.approx(score(0.5, 3, 1.0), abs=1e-6)
+
+
+def test_bm25f_conv_saturates_once_across_fields(spark):
+    """BM25F blends fields BEFORE saturation: a conv matching in two
+    fields must score less than the sum of two per-field BM25 scores
+    (the naive-summation failure mode)."""
+    import datetime as dt
+
+    from search_engine_spark import simple
+    from search_engine_spark.fixtures import TRANSCRIPT_SCHEMA
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "user", "fix it", "", ts),
+        ("c1", 1, "assistant", "fix done", "", ts),
+        ("c2", 0, "user", "other words", "", ts),
+        ("c2", 1, "assistant", "fix done", "", ts),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    w = {"user": 1.0, "assistant": 1.0, "tool": 1.0}
+    got = {r.conv_id: r.score for r in simple.bm25f_conv(df, ["fix"], w).collect()}
+    # two-field conv scores higher than one-field, but sub-additively
+    assert got["c1"] > got["c2"]
+    assert got["c1"] < 2 * got["c2"]
