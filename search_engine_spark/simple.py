@@ -726,12 +726,17 @@ def near_match(
     max_dist: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ordered: bool = False,
 ) -> DataFrame:
     """Docs where ``term_a`` and ``term_b`` occur within ``max_dist``
     positions of each other (``a NEAR/k b`` — proximity search, the
     positional-index generalization of the phrase operator Q8; the
     reference stores the positions that make this answerable,
     ``memoryindex.py:22-49``, but only exposes the k=1 adjacent case).
+    With ``ordered=True`` the match requires ``term_a`` BEFORE
+    ``term_b`` (``0 < pos_b - pos_a <= k`` — Lucene's ordered
+    SpanNearQuery / "phrase with slop" for the pair case; k=1 ordered
+    is exactly the two-word phrase operator).
 
     One scan, one shuffle: positions of both terms are gathered per doc
     in a single conditional aggregation, then the pair predicate is a
@@ -753,13 +758,22 @@ def near_match(
             ).alias("pb"),
         )
     )
-    pair_ok = F.exists(
-        F.col("pa"),
-        lambda x: F.exists(
-            F.col("pb"),
-            lambda y: (F.abs(x - y) <= F.lit(max_dist)) & (x != y),
-        ),
-    )
+    if ordered:
+        pair_ok = F.exists(
+            F.col("pa"),
+            lambda x: F.exists(
+                F.col("pb"),
+                lambda y: (y > x) & (y - x <= F.lit(max_dist)),
+            ),
+        )
+    else:
+        pair_ok = F.exists(
+            F.col("pa"),
+            lambda x: F.exists(
+                F.col("pb"),
+                lambda y: (F.abs(x - y) <= F.lit(max_dist)) & (x != y),
+            ),
+        )
     return hits.where(pair_ok).select(id_col)
 
 

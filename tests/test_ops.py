@@ -1337,3 +1337,30 @@ def test_bm25f_conv_saturates_once_across_fields(spark):
     # two-field conv scores higher than one-field, but sub-additively
     assert got["c1"] > got["c2"]
     assert got["c1"] < 2 * got["c2"]
+
+
+# --------------------------------------------------- ordered proximity
+def test_near_match_ordered(spark):
+    from search_engine_spark import simple
+
+    rows = [
+        (0, "fix the bad bug"),      # fix ... bug, dist 3, ordered
+        (1, "bug was a fix"),        # only reverse order
+        (2, "fix bug"),              # adjacent ordered (phrase case)
+        (3, "fix a a a a bug"),      # dist 5 > k
+        (4, "no terms at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unordered = {r.doc_id for r in simple.near_match(df, "fix", "bug", 3).collect()}
+    ordered = {
+        r.doc_id
+        for r in simple.near_match(df, "fix", "bug", 3, ordered=True).collect()
+    }
+    assert unordered == {0, 1, 2}
+    assert ordered == {0, 2}  # doc 1 drops: 'bug' precedes 'fix'
+    # k=1 ordered is exactly the two-word phrase operator
+    phrase = {
+        r.doc_id
+        for r in simple.near_match(df, "fix", "bug", 1, ordered=True).collect()
+    }
+    assert phrase == {2}
