@@ -308,6 +308,30 @@ def bm25f_conv(
     )
 
 
+def term_tf_pairs(terms: list[str], text_col: str = "text") -> Column:
+    """``array<struct<term, tf>>`` of per-row term frequencies for a
+    query term list — the in-projection HOF core shared by
+    :func:`term_trends` and the streaming term-rate feed
+    (:mod:`.streaming.trends`): one ``size(filter(tokens, = term))``
+    per term, so the row's token array is never exploded."""
+    toks = _tokens(text_col)
+
+    def _eq(term: str):
+        # NB: a `lambda x, t=t:` default-arg closure would have arity 2,
+        # which F.filter dispatches as a (value, index) lambda
+        return lambda x: x == F.lit(term)
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.size(F.filter(toks, _eq(t))).alias("tf"),
+            )
+            for t in sorted(set(terms))
+        ]
+    )
+
+
 def prf_ranked(
     docs: DataFrame,
     query_terms: list[str],
@@ -380,29 +404,16 @@ def term_trends(
     first) and it combines down to |terms| x |buckets| rows. Query
     term lists are small by construction (they inline as literals).
     """
-    qt = sorted(set(terms))
-    toks = _tokens(text_col)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     b = F.lit(int(bucket_seconds) * 1_000_000)
     # exact integer bucketing: strip the remainder first so the double
     # division is of an exact multiple (no FP boundary wobble)
     bucket = ((us - F.pmod(us, b)) / b).cast("long")
-    def _eq(term: str):
-        # NB: a `lambda x, t=t:` default-arg closure would have arity 2,
-        # which F.filter dispatches as a (value, index) lambda
-        return lambda x: x == F.lit(term)
-
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("term"),
-                F.size(F.filter(toks, _eq(t))).alias("tf"),
-            )
-            for t in qt
-        ]
-    )
     return (
-        turns.select(bucket.alias("bucket"), F.explode(pairs).alias("p"))
+        turns.select(
+            bucket.alias("bucket"),
+            F.explode(term_tf_pairs(terms, text_col)).alias("p"),
+        )
         .select("bucket", "p.term", "p.tf")
         .where(F.col("tf") > 0)
         .groupBy("term", "bucket")

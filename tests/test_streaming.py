@@ -544,3 +544,52 @@ def test_split_runs_properties():
             i += count
 
     check()
+
+
+def test_trend_stream_watermarked_windows(spark, tmp_path):
+    """Streaming term trends: the same definition backfills in batch
+    and, under readStream, emits each (window, term) row exactly once
+    when the watermark closes the window; late turns are dropped."""
+    import datetime as dt
+
+    from search_engine_spark.streaming import start_trend_stream, term_rates
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("landing", "out", "ckpt"))
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [
+            (f"c{i}", 0, "user", text, "", t0 + dt.timedelta(minutes=m))
+            for i, (m, text) in enumerate(rows)
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    terms, win, delay = ["err", "ok"], "5 minutes", "10 minutes"
+
+    # window [0,5): err x3 over 2 turns, ok x1; window [5,10): ok x1;
+    # minute-30 advancer pushes the watermark to 00:20, closing both
+    batch1 = mk(
+        [(1, "err err boot"), (2, "err and ok"), (6, "ok then"), (30, "quiet")]
+    )
+    batch1.write.mode("append").parquet(src)
+    start_trend_stream(spark, src, terms, out, ckpt, win, delay).awaitTermination()
+
+    # trigger 2: an advancer plus a LATE 'err' at minute 2 (window
+    # already closed -> dropped), emits batch 1's windows
+    mk([(120, "err later"), (2, "late err")]).write.mode("append").parquet(src)
+    start_trend_stream(spark, src, terms, out, ckpt, win, delay).awaitTermination()
+
+    got = {
+        (r["window_start"].minute, r["term"]): (r["n_turns"], r["tf_sum"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(0, "err")] == (2, 3)  # the late minute-2 err did NOT inflate
+    assert got[(0, "ok")] == (1, 1)
+    assert got[(5, "ok")] == (1, 1)
+
+    # batch backfill with the same definition agrees
+    batch_counts = {
+        (r["window_start"].minute, r["term"]): (r["n_turns"], r["tf_sum"])
+        for r in term_rates(batch1, terms, win).collect()
+    }
+    assert batch_counts[(0, "err")] == (2, 3)
+    assert batch_counts[(5, "ok")] == (1, 1)
