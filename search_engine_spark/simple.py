@@ -242,7 +242,14 @@ def bm25f_conv(
         for ti, t in enumerate(qt)
         for ri, r in enumerate(roles)
     ]
-    ctf = tok.groupBy("conv_id").agg(*tf_cols)
+    from pyspark import StorageLevel
+
+    # ctf and clen each feed BOTH a corpus-stat collect and the final
+    # scored join; without a persist the tokenize/length scans would run
+    # twice. MEMORY_AND_DISK keeps lineage recomputable (executor loss
+    # re-derives, unlike a localCheckpoint), and both tables are
+    # conv-keyed aggregates — already corpus-reduced before caching.
+    ctf = tok.groupBy("conv_id").agg(*tf_cols).persist(StorageLevel.MEMORY_AND_DISK)
     # per-conv integer field lengths (no explode: size(split) per turn)
     len_cols = [
         F.sum(
@@ -252,7 +259,11 @@ def bm25f_conv(
         ).alias(f"len_{ri}")
         for ri, r in enumerate(roles)
     ]
-    clen = turns.groupBy("conv_id").agg(*len_cols)
+    clen = (
+        turns.groupBy("conv_id")
+        .agg(*len_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # corpus scalars, folded as literals (exact integers driver-side)
     totals = clen.agg(
