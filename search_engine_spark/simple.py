@@ -799,6 +799,35 @@ def near_match(
     return hits.where(pair_ok).select(id_col)
 
 
+def phrase_ranked(
+    docs: DataFrame,
+    phrase_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase-constrained ranked retrieval — Lucene's
+    ``PhraseQuery`` inside a scored must-clause: only docs containing
+    the terms at CONSECUTIVE positions qualify (:func:`phrase_match`),
+    and qualifiers rank by the standard Q9 tf-idf formula over the
+    phrase's terms. Statistics (N, df, L_d) stay corpus-global — the
+    phrase restricts the CANDIDATES, not the stats, matching the
+    engine's ``where=`` / tombstone discipline.
+
+    Plan: the phrase-match doc set (already bounded by the rarest
+    term's postings) left-semi joins the scored table before top-k —
+    the same masked-before-truncation shape as ``exclude=`` in
+    :func:`ranked_topk`.
+    """
+    matches = phrase_match(docs, phrase_terms, text_col, id_col)
+    scored = ranked_scores(docs, phrase_terms, text_col, id_col)
+    return (
+        scored.join(matches, id_col, "left_semi")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 #: sentinel "no match" position for the snippet window math (larger
 #: than any real token index)
 _NO_POS = 1 << 40

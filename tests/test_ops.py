@@ -1364,3 +1364,25 @@ def test_near_match_ordered(spark):
         for r in simple.near_match(df, "fix", "bug", 1, ordered=True).collect()
     }
     assert phrase == {2}
+
+
+# --------------------------------------------------- phrase-constrained ranking
+def test_phrase_ranked_filters_then_scores(spark):
+    from search_engine_spark import simple
+
+    rows = [
+        (0, "hash join wins"),          # has the phrase
+        (1, "join hash reversed"),      # both terms, wrong order: excluded
+        (2, "hash join hash join"),     # phrase twice, higher tf
+        (3, "hash only"),
+        (4, "nothing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in simple.phrase_ranked(df, ["hash", "join"]).collect()}
+    assert set(got) == {0, 2}
+    assert got[2] > got[0]
+    # score equals the unconstrained ranked score for the same doc
+    # (the phrase restricts candidates, not statistics)
+    full = {r.doc_id: r.score for r in simple.ranked_topk(df, ["hash", "join"], 10).collect()}
+    assert got[0] == full[0] and got[2] == full[2]
+    assert 1 in full  # and doc 1 was only removed by the phrase constraint
