@@ -1827,6 +1827,72 @@ class TranscriptSearchEngine:
         ]
         return [(d, s) for d, s in res if d != int(doc_id)][:k]
 
+    def prf_query_df(
+        self,
+        query: str,
+        k: int = DEFAULT_K,
+        fb_docs: int = 5,
+        n_expansion: int = 3,
+    ) -> DataFrame:
+        """Pseudo-relevance-feedback ranked retrieval ON THE INDEX
+        (Rocchio/RM-style two-pass, the scale path of
+        :func:`search_engine_spark.simple.prf_ranked`): run the base
+        ranked query, take its top ``fb_docs`` results as
+        presumed-relevant, pick the ``n_expansion`` terms most
+        characteristic of the feedback set (highest feedback df, then
+        total feedback tf, then term asc — all-integer keys, so the
+        selection is exact), and re-rank with the expanded term set.
+
+        Cost shape — O(query), the corpus is NEVER re-tokenized: one
+        standard pruned ranked plan (pass 1), one pruned docs
+        point-read of the ``fb_docs`` ids (isin pushdown to the
+        range-partitioned scan), the feedback TEXTS analyzed
+        in-process (``fb_docs`` rows — no job, the
+        :meth:`more_like_this` pattern), then the standard pruned
+        ranked plan over ``len(query) + n_expansion`` terms (pass 2).
+        """
+        from collections import Counter
+
+        base = [
+            int(r["doc_id"])
+            for r in self.ranked_query_df(query, k=fb_docs).collect()
+        ]
+        orig = self._ranked_terms(query)
+        if not base:
+            return self._score_terms_df(orig, k)
+        rows = (
+            self.docs.where(F.col("doc_id").isin(base))
+            .select("text")
+            .collect()
+        )
+        fb_df: Counter = Counter()
+        fb_tf: Counter = Counter()
+        for r in rows:
+            tfs = Counter(t for t, _pos, _raw in analyze(r["text"]))
+            for t, c in tfs.items():
+                fb_df[t] += 1
+                fb_tf[t] += c
+        known = set(orig)
+        cand = sorted(
+            (-df, -fb_tf[t], t)
+            for t, df in fb_df.items()
+            if t not in known
+        )[:n_expansion]
+        return self._score_terms_df(orig + [t for _a, _b, t in cand], k)
+
+    def prf_query(
+        self,
+        query: str,
+        k: int = DEFAULT_K,
+        fb_docs: int = 5,
+        n_expansion: int = 3,
+    ) -> list[tuple[int, float]]:
+        """List form of :meth:`prf_query_df`."""
+        return [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in self.prf_query_df(query, k, fb_docs, n_expansion).collect()
+        ]
+
     # --------------------------------------------------------------- snippets
     def search(
         self,

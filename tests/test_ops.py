@@ -1386,3 +1386,54 @@ def test_phrase_ranked_filters_then_scores(spark):
     full = {r.doc_id: r.score for r in simple.ranked_topk(df, ["hash", "join"], 10).collect()}
     assert got[0] == full[0] and got[2] == full[2]
     assert 1 in full  # and doc 1 was only removed by the phrase constraint
+
+
+# --------------------------------------------------- engine-level PRF
+def test_engine_prf_query_matches_driver_recomputation(spark, tmp_path):
+    """prf_query's expansion equals a brute-force driver recomputation
+    (analyze the base top-fb docs, integer-keyed candidate sort), and
+    its final ranking equals _score_terms_df over those exact terms."""
+    from collections import Counter
+
+    from search_engine_spark.engine import TranscriptSearchEngine
+    from search_engine_spark.fixtures import golden_transcripts
+    from search_engine_spark.text.normalize import analyze
+
+    eng = TranscriptSearchEngine.build(
+        spark, golden_transcripts(spark), str(tmp_path / "idx")
+    )
+    q, fbn, nexp = "test document", 2, 2
+    got = eng.prf_query(q, k=10, fb_docs=fbn, n_expansion=nexp)
+
+    base = [d for d, _ in eng.ranked_query(q, k=fbn)]
+    texts = {
+        int(r["doc_id"]): r["text"]
+        for r in eng.docs.where(F.col("doc_id").isin(base)).collect()
+    }
+    fb_df, fb_tf = Counter(), Counter()
+    for d in base:
+        tfs = Counter(t for t, _p, _raw in analyze(texts[d]))
+        for t, c in tfs.items():
+            fb_df[t] += 1
+            fb_tf[t] += c
+    orig = eng._ranked_terms(q)
+    cand = sorted(
+        (-df, -fb_tf[t], t) for t, df in fb_df.items() if t not in set(orig)
+    )[:nexp]
+    expected_terms = orig + [t for _a, _b, t in cand]
+    want = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in eng._score_terms_df(expected_terms, 10).collect()
+    ]
+    assert got == want
+    assert len(cand) > 0  # the fixture does produce expansion terms
+
+
+def test_engine_prf_no_feedback_falls_back_to_base(spark, tmp_path):
+    from search_engine_spark.engine import TranscriptSearchEngine
+    from search_engine_spark.fixtures import golden_transcripts
+
+    eng = TranscriptSearchEngine.build(
+        spark, golden_transcripts(spark), str(tmp_path / "idx2")
+    )
+    assert eng.prf_query("zzzmissing", k=5) == []

@@ -51,7 +51,11 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
-    oracles = contract.oracle_sql()
+    # pass the CLI sf_dir so dump-backed engine/ANN oracles regenerate
+    # against the same scale the Spark side runs at (the driver's own
+    # gate always runs at ORACLE_SF_DIR; this matters for local checks
+    # at other scales)
+    oracles = contract.oracle_sql(sf)
     failures = []
     for name, fn in contract.queries().items():
         if only and name not in only:
