@@ -173,6 +173,10 @@ def main() -> None:
             lambda: eng.ranked_conversations("spark join fast", k=10),
         ),
         ("more_like_this", lambda: eng.more_like_this(3, k=10)),
+        (
+            "prf_engine",
+            lambda: eng.prf_query("spark join fast", k=10),
+        ),
         # ---- simple-analyzer relational path ----
         ("tf_table_agg", lambda: simple.tf_table(docs).count()),
         (
