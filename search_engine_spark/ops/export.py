@@ -121,6 +121,12 @@ def training_pairs(turns: DataFrame, context_turns: int = 3) -> DataFrame:
     happens AFTER the window (every turn can appear in a later turn's
     context) but before anything corpus-sized materializes — the
     output is O(assistant turns).
+
+    Assumes ``turn_idx`` is unique per conversation (the standard
+    transcript invariant — validate upstream with
+    :func:`transcript_report`, whose ``n_idx_gaps`` flags violations);
+    with duplicates the window frame's row order between the
+    duplicates is not defined.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -174,7 +180,9 @@ def tool_stats(turns: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     calls = turns.where((F.col("role") == "tool") & (F.col("tool") != ""))
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # secondary sort on tool name makes retry attribution deterministic
+    # even if a malformed transcript duplicates a turn_idx
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "tool")
     prev = F.lag("tool").over(w)
     return (
         calls.select(
