@@ -918,6 +918,82 @@ def wildcard_vocab(
     )
 
 
+def regex_vocab(
+    docs: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary terms matching a regular expression, with df —
+    Lucene's RegexpQuery term-expansion step: (word, df). The scan is
+    over the DICTIONARY (one row per distinct term), never the corpus
+    token stream, so the regex runs |vocab| times regardless of corpus
+    size; at the engine level the same expression would prune further
+    via a k-gram prefilter exactly as wildcards do (Q11). Keep
+    patterns inside the Java∩RE2 common subset (the :mod:`.ops.pii`
+    discipline) so SQL oracles replicate them.
+    """
+    tf = tf_table(docs, text_col, id_col)
+    return (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .where(F.col("term").rlike(pattern))
+        .select(F.col("term").alias("word"), "df")
+    )
+
+
+def ranked_explain(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score EXPLANATION for the Q9 ranking — Lucene's ``explain()``:
+    one row per (matching doc, query term) with every factor of that
+    term's contribution: ``tf``, ``df``, ``wqt = ln(1+N/df)``,
+    ``wdt = 1+ln tf``, the doc's length norm ``weight``, and
+    ``contrib = wqt*wdt/L_d`` (so a doc's contribs sum to its
+    :func:`ranked_topk` score). Indispensable for relevance debugging
+    — "why did doc A outrank doc B" decomposes term by term.
+
+    Restricted to the top-``k`` docs of the underlying ranking, so the
+    output is k x |terms| rows; the plan is the :func:`ranked_scores`
+    core with the per-term rows kept (the partial-sum groupBy removed)
+    and a semi join against the top-k set.
+    """
+    qt = sorted(set(query_terms))
+    n_docs = docs.count()
+    tf = tf_table(docs, text_col, id_col)
+    weights = tf.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.pow(F.lit(1.0) + F.log("tf"), F.lit(2.0)))).alias("weight")
+    )
+    top = ranked_topk(docs, query_terms, k, text_col, id_col).select(id_col)
+    dfs = (
+        tf.where(F.col("term").isin(qt))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    wqt = F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df"))
+    wdt = F.lit(1.0) + F.log("tf")
+    return (
+        tf.where(F.col("term").isin(qt))
+        .join(F.broadcast(dfs), "term")
+        .join(F.broadcast(top), id_col, "left_semi")
+        .join(weights, id_col)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(wqt, 6).alias("wqt"),
+            F.round(wdt, 6).alias("wdt"),
+            F.round(F.col("weight"), 6).alias("weight"),
+            F.round(wqt * wdt / F.col("weight"), 6).alias("contrib"),
+        )
+    )
+
+
 def spelling_candidates(
     docs: DataFrame,
     qword: str,

@@ -1437,3 +1437,48 @@ def test_engine_prf_no_feedback_falls_back_to_base(spark, tmp_path):
         spark, golden_transcripts(spark), str(tmp_path / "idx2")
     )
     assert eng.prf_query("zzzmissing", k=5) == []
+
+
+# --------------------------------------------------- regex term query
+def test_regex_vocab(spark):
+    from search_engine_spark import simple
+
+    rows = [(0, "stream storm stem"), (1, "storm other sum")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.word: r.df for r in simple.regex_vocab(df, "^s.*m$").collect()}
+    # everything s...m qualifies; 'other' fails the anchor
+    assert got == {"stream": 1, "storm": 2, "stem": 1, "sum": 1}
+    got2 = {r.word for r in simple.regex_vocab(df, "^st[aeiou]+").collect()}
+    assert got2 == {"stem", "storm"}  # stream has a consonant after st
+
+
+# --------------------------------------------------- score explanation
+def test_ranked_explain_contribs_sum_to_score(spark):
+    import math
+
+    from search_engine_spark import simple
+
+    rows = [
+        (0, "spark spark join"),
+        (1, "join fast"),
+        (2, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["spark", "join", "fast"]
+    scores = {r.doc_id: r.score for r in simple.ranked_topk(df, terms, 10).collect()}
+    ex = simple.ranked_explain(df, terms, k=10).collect()
+    by_doc = {}
+    for r in ex:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(scores)
+    for d, rows_ in by_doc.items():
+        # contribs sum to the ranked score (each rounded at 6dp; allow
+        # one ulp-of-rounding slack per term)
+        assert sum(r.contrib for r in rows_) == pytest.approx(
+            scores[d], abs=1e-5
+        )
+    # spot-check doc 0's 'spark' row factors
+    r0 = next(r for r in by_doc[0] if r.term == "spark")
+    assert r0.tf == 2 and r0.df == 1
+    assert r0.wqt == pytest.approx(round(math.log(1 + 3 / 1), 6), abs=1e-6)
+    assert r0.wdt == pytest.approx(round(1 + math.log(2), 6), abs=1e-6)
