@@ -918,6 +918,73 @@ def wildcard_vocab(
     )
 
 
+def significant_terms(
+    docs: DataFrame,
+    query_terms: list[str],
+    n: int = 10,
+    min_fg_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Elasticsearch's significant-terms aggregation: terms that are
+    UNUSUALLY frequent in the foreground (docs matching ANY query
+    term) relative to the background corpus — "what words characterize
+    the matching docs", the corpus-analysis sibling of PRF expansion.
+    Scored by JLH: ``(fg_rate - bg_rate) * (fg_rate / bg_rate)`` with
+    ``fg_rate = fg_df / fg_n`` and ``bg_rate = df / N`` — every factor
+    derives from integers through one fixed expression tree, so the
+    float score is identical cross-engine. Query terms are excluded;
+    ``min_fg_df`` suppresses one-doc noise. Output: (term, fg_df, df,
+    score round 6), top ``n`` by (unrounded score desc, term asc).
+
+    Plan shape: the foreground doc set is a semi join of the tf table
+    against the matching-doc ids (both sides term-pruned or
+    partial-agg'd); fg_df is one groupBy over foreground postings
+    only; bg df comes from the corpus dictionary aggregate restricted
+    to the foreground's candidate terms (a semi join keeps it
+    O(foreground vocabulary), not O(vocabulary)); the corpus scalars
+    N and fg_n fold in as literals.
+    """
+    qt = sorted(set(query_terms))
+    n_docs = docs.count()
+    tf = tf_table(docs, text_col, id_col)
+    fg_ids = (
+        tf.where(F.col("term").isin(qt)).select(id_col).distinct()
+    )
+    fg_tf = tf.join(fg_ids, id_col, "left_semi")
+    fg_n = fg_ids.count()
+    if fg_n == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "term string, fg_df long, df long, score double"
+        )
+    fgd = (
+        fg_tf.where(~F.col("term").isin(qt))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+        .where(F.col("fg_df") >= min_fg_df)
+    )
+    bgd = (
+        tf.join(F.broadcast(fgd.select("term")), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    fg_rate = F.col("fg_df") / F.lit(float(fg_n))
+    bg_rate = F.col("df") / F.lit(float(n_docs))
+    score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+    return (
+        fgd.join(bgd, "term")
+        .select(
+            "term",
+            "fg_df",
+            "df",
+            score.alias("_s"),
+        )
+        .orderBy(F.desc("_s"), F.asc("term"))
+        .limit(n)
+        .select("term", "fg_df", "df", F.round("_s", 6).alias("score"))
+    )
+
+
 def regex_vocab(
     docs: DataFrame,
     pattern: str,

@@ -1482,3 +1482,54 @@ def test_ranked_explain_contribs_sum_to_score(spark):
     assert r0.tf == 2 and r0.df == 1
     assert r0.wqt == pytest.approx(round(math.log(1 + 3 / 1), 6), abs=1e-6)
     assert r0.wdt == pytest.approx(round(1 + math.log(2), 6), abs=1e-6)
+
+
+# --------------------------------------------------- significant terms
+def test_significant_terms_hand_computed(spark):
+    from search_engine_spark import simple
+
+    rows = [
+        (0, "spark tuning gc"),      # fg
+        (1, "spark tuning jvm"),     # fg
+        (2, "tuning recipes food"),  # bg only: 'tuning' is corpus-common
+        (3, "food recipes"),         # bg
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.term: r for r in simple.significant_terms(df, ["spark"], n=10).collect()}
+    # 'tuning' is in both fg docs (fg_df 2) but also 3/4 of the corpus;
+    # it still scores since fg_rate 1.0 > bg_rate .75. No other term
+    # reaches min_fg_df=2; the query term itself is excluded.
+    assert set(got) == {"tuning"}
+    t = got["tuning"]
+    assert (t.fg_df, t.df) == (2, 3)
+    fg_rate, bg_rate = 2 / 2, 3 / 4
+    assert t.score == pytest.approx(
+        round((fg_rate - bg_rate) * (fg_rate / bg_rate), 6), abs=1e-6
+    )
+
+
+def test_significant_terms_ranks_discriminative_terms_first(spark):
+    from search_engine_spark import simple
+
+    rows = [
+        (0, "spark shuffle skew"),
+        (1, "spark shuffle gc"),
+        (2, "spark skew shuffle"),
+        (3, "cooking gc pasta"),     # gc also appears in background
+        (4, "cooking pasta oven"),
+        (5, "oven pasta cooking"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simple.significant_terms(df, ["spark"], n=10).collect()
+    terms = [r.term for r in out]
+    # 'shuffle' (fg 3/3, bg 3/6) and 'skew' (fg 2/3, bg 2/6) are fg-only;
+    # both must outrank nothing else (no other term has fg_df >= 2)
+    assert set(terms) == {"shuffle", "skew"}
+    assert terms[0] == "shuffle"
+
+
+def test_significant_terms_empty_foreground(spark):
+    from search_engine_spark import simple
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    assert simple.significant_terms(df, ["zzz"], n=5).collect() == []
