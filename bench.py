@@ -288,6 +288,16 @@ def main() -> None:
             ).collect(),
         ),
         (
+            "significant_terms",
+            lambda: simple.significant_terms(
+                docs, ["spark", "join", "fast"], n=10
+            ).collect(),
+        ),
+        (
+            "phrase_ranked",
+            lambda: simple.phrase_ranked(docs, ["hash", "join"], k=10).collect(),
+        ),
+        (
             "bm25f_conv",
             lambda: simple.bm25f_conv(
                 documents_as_multiturn(docs), ["spark", "join", "fast"], k=10
