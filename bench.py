@@ -30,6 +30,12 @@ import statistics
 import time
 
 REPEATS = 3
+#: CPU-probe seconds above which a repeat round counts as throttled and
+#: is excluded from the per-query medians (healthy ~0.2-1 s on this VM;
+#: 4-18 s during neighbor-throttle windows). One poisoned round out of
+#: three shifts every fast query's median-of-3, so medians are computed
+#: over probe-healthy rounds only; the raw repeats stay in the JSON.
+PROBE_HEALTHY_SECS = 2.0
 
 
 def cpu_probe() -> float:
@@ -345,10 +351,24 @@ def main() -> None:
     record("append_1pct", lambda: eng.append(delta))
     probes["post"] = cpu_probe()
 
-    medians = {
-        name: round(statistics.median(vals), 3)
-        for name, vals in repeats.items()
-    }
+    # a repeat round is healthy iff BOTH probes bracketing it are under
+    # the threshold (round r runs between probe r-1's end and probe r);
+    # if every round is throttled, fall back to all rounds and say so
+    bracket = ["post_build"] + [f"round{r}" for r in range(REPEATS)]
+    healthy_rounds = [
+        r
+        for r in range(REPEATS)
+        if probes[bracket[r]] <= PROBE_HEALTHY_SECS
+        and probes[bracket[r + 1]] <= PROBE_HEALTHY_SECS
+    ]
+    excluded_rounds = [r for r in range(REPEATS) if r not in healthy_rounds]
+    use = healthy_rounds or list(range(REPEATS))
+
+    def _median(vals: list[float]) -> float:
+        picked = [vals[r] for r in use] if len(vals) == REPEATS else vals
+        return round(statistics.median(picked), 3)
+
+    medians = {name: _median(vals) for name, vals in repeats.items()}
     total = round(sum(medians.values()), 3)
     build_tps = round(n_turns / medians["build_index"], 2)
     print(
@@ -361,6 +381,9 @@ def main() -> None:
                 "repeats": repeats,
                 "cpu_probe_secs": probes,
                 "n_repeats": REPEATS,
+                "healthy_rounds": healthy_rounds,
+                "excluded_throttled_rounds": excluded_rounds,
+                "all_rounds_throttled": not healthy_rounds,
                 "sf": sf,
                 "n_turns": n_turns,
                 "build_turns_per_sec": build_tps,

@@ -277,16 +277,21 @@ def bm25f_conv(
         ri: (float(totals[f"tot_{ri}"]) / n_convs) if totals[f"tot_{ri}"] else 1.0
         for ri in range(len(roles))
     }
+    # coalesce: when NO conversation matches any query term ctf is empty
+    # and bare sums aggregate to NULL — df_t must read as 0, not crash
     dfs = ctf.agg(
         *[
-            F.sum(
-                (
-                    sum(
-                        (F.col(f"tf_{ti}_{ri}") for ri in range(len(roles))),
-                        F.lit(0),
-                    )
-                    > 0
-                ).cast("long")
+            F.coalesce(
+                F.sum(
+                    (
+                        sum(
+                            (F.col(f"tf_{ti}_{ri}") for ri in range(len(roles))),
+                            F.lit(0),
+                        )
+                        > 0
+                    ).cast("long")
+                ),
+                F.lit(0),
             ).alias(f"df_{ti}")
             for ti in range(len(qt))
         ]
@@ -311,11 +316,22 @@ def bm25f_conv(
                 / denom
             )
         score = score + F.lit(idf) * wtf / (F.lit(float(k1)) + wtf)
-    return (
+    plan = (
         scored.select("conv_id", F.round(score, 6).alias("score"))
         .where(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("conv_id"))
         .limit(k)
+    )
+    # materialize the (tiny, k-row) answer so the persisted intermediates
+    # can be released here — otherwise repeated calls accumulate cached
+    # tables in executor storage for the application lifetime
+    try:
+        rows = plan.collect()
+    finally:
+        ctf.unpersist()
+        clen.unpersist()
+    return turns.sparkSession.createDataFrame(
+        rows, "conv_id string, score double"
     )
 
 
@@ -945,43 +961,59 @@ def significant_terms(
     O(foreground vocabulary), not O(vocabulary)); the corpus scalars
     N and fg_n fold in as literals.
     """
+    from pyspark import StorageLevel
+
     qt = sorted(set(query_terms))
     n_docs = docs.count()
-    tf = tf_table(docs, text_col, id_col)
-    fg_ids = (
-        tf.where(F.col("term").isin(qt)).select(id_col).distinct()
-    )
-    fg_tf = tf.join(fg_ids, id_col, "left_semi")
-    fg_n = fg_ids.count()
-    if fg_n == 0:
-        return docs.sparkSession.createDataFrame(
-            [], "term string, fg_df long, df long, score double"
+    # the tf table feeds THREE branches of the plan (fg_ids, fg_tf, bgd)
+    # plus the fg_n count — without a persist each branch re-tokenizes
+    # the corpus (~5 scans per call even at oracle scale)
+    tf = tf_table(docs, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        fg_ids = (
+            tf.where(F.col("term").isin(qt)).select(id_col).distinct()
         )
-    fgd = (
-        fg_tf.where(~F.col("term").isin(qt))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
-        .where(F.col("fg_df") >= min_fg_df)
-    )
-    bgd = (
-        tf.join(F.broadcast(fgd.select("term")), "term", "left_semi")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
-    )
-    fg_rate = F.col("fg_df") / F.lit(float(fg_n))
-    bg_rate = F.col("df") / F.lit(float(n_docs))
-    score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
-    return (
-        fgd.join(bgd, "term")
-        .select(
-            "term",
-            "fg_df",
-            "df",
-            score.alias("_s"),
+        fg_tf = tf.join(fg_ids, id_col, "left_semi")
+        fg_n = fg_ids.count()
+        if fg_n == 0:
+            return docs.sparkSession.createDataFrame(
+                [], "term string, fg_df long, df long, score double"
+            )
+        fgd = (
+            fg_tf.where(~F.col("term").isin(qt))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+            .where(F.col("fg_df") >= min_fg_df)
         )
-        .orderBy(F.desc("_s"), F.asc("term"))
-        .limit(n)
-        .select("term", "fg_df", "df", F.round("_s", 6).alias("score"))
+        # NO broadcast hint on the foreground vocabulary: for a common
+        # query term the foreground is nearly the corpus and its vocab
+        # is unbounded — let AQE pick the semi-join strategy from the
+        # observed size instead of forcing it through the driver
+        bgd = (
+            tf.join(fgd.select("term"), "term", "left_semi")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        )
+        fg_rate = F.col("fg_df") / F.lit(float(fg_n))
+        bg_rate = F.col("df") / F.lit(float(n_docs))
+        score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+        rows = (
+            fgd.join(bgd, "term")
+            .select(
+                "term",
+                "fg_df",
+                "df",
+                score.alias("_s"),
+            )
+            .orderBy(F.desc("_s"), F.asc("term"))
+            .limit(n)
+            .select("term", "fg_df", "df", F.round("_s", 6).alias("score"))
+            .collect()
+        )
+    finally:
+        tf.unpersist()
+    return docs.sparkSession.createDataFrame(
+        rows, "term string, fg_df long, df long, score double"
     )
 
 

@@ -1315,6 +1315,25 @@ def test_bm25f_conv_hand_computed(spark):
     assert got["c2"] == pytest.approx(score(0.5, 3, 1.0), abs=1e-6)
 
 
+def test_bm25f_conv_no_match_returns_empty(spark):
+    """A query matching NO conversation must return an empty frame, not
+    crash on the NULL df aggregate (regression: int(None) TypeError)."""
+    import datetime as dt
+
+    from search_engine_spark import simple
+    from search_engine_spark.fixtures import TRANSCRIPT_SCHEMA
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "user", "please help", "", ts),
+        ("c1", 1, "assistant", "fix applied", "", ts),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    out = simple.bm25f_conv(df, ["zzznomatch"], k=10)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["conv_id", "score"]
+
+
 def test_bm25f_conv_saturates_once_across_fields(spark):
     """BM25F blends fields BEFORE saturation: a conv matching in two
     fields must score less than the sum of two per-field BM25 scores
