@@ -431,6 +431,225 @@ def _block_near(term_a: str, term_b: str, max_dist: int, block_span: int):
     return run
 
 
+def _cogroup_fg_df():
+    """Per-block foreground-df counter for significant-terms: the left
+    cogroup side is EVERY posting cell of a block that contains
+    foreground docs, the right side is that block's foreground doc ids.
+    Emits (term, fg_df_partial) = how many foreground docs of this
+    block contain the term; partials sum exactly (integers, and blocks
+    partition the doc space). Only posting DECODE happens here — the
+    corpus text is never touched."""
+
+    def run(cells: pd.DataFrame, fg: pd.DataFrame) -> pd.DataFrame:
+        if len(cells) == 0 or len(fg) == 0:
+            return pd.DataFrame(
+                {
+                    "term": pd.Series(dtype=object),
+                    "fg_df": pd.Series(dtype="int64"),
+                }
+            )
+        allowed = np.unique(fg["doc_id"].to_numpy())
+        agg: dict[object, int] = {}
+        for term, blob in zip(cells["term"], cells["postings_bin"]):
+            d, _t = codec.decode_postings(bytes(blob))
+            c = int(np.isin(d, allowed, assume_unique=True).sum())
+            if c:
+                agg[term] = agg.get(term, 0) + c
+        return pd.DataFrame(
+            {"term": list(agg), "fg_df": np.fromiter(agg.values(), "int64", len(agg))}
+        )
+
+    return run
+
+
+def _cogroup_keywords(n: int, n_docs: float):
+    """Per-block keywords worker: left side = every posting cell of the
+    block, right side = (term, df) for the block's terms (the slim
+    dictionary join, co-shuffled by block). A doc lives entirely inside
+    its block, so its top-n terms by ``(1+ln tf)·ln(1+N/df)`` are
+    COMPLETE here — no corpus-wide window. Ranking uses the UNROUNDED
+    score (ties on term asc), matching ``simple.keywords``."""
+
+    def run(cells: pd.DataFrame, dfs: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "term": pd.Series(dtype=object),
+                "tf_idf": np.empty(0, dtype=np.float64),
+                "rank": np.empty(0, dtype=np.int32),
+            }
+        )
+        if len(cells) == 0 or len(dfs) == 0:
+            return empty
+        dmap = dict(zip(dfs["term"], dfs["df"]))
+        doc_parts, term_parts, score_parts = [], [], []
+        for term, blob in zip(cells["term"], cells["postings_bin"]):
+            df_t = dmap.get(term)
+            if not df_t:
+                continue
+            d, t = codec.decode_postings(bytes(blob))
+            wqt = log(1.0 + n_docs / float(df_t))
+            doc_parts.append(d)
+            score_parts.append((1.0 + np.log(t)) * wqt)
+            term_parts.append(np.full(d.size, term, dtype=object))
+        if not doc_parts:
+            return empty
+        docs = np.concatenate(doc_parts)
+        scores = np.concatenate(score_parts)
+        terms = np.concatenate(term_parts).astype(str)
+        order = np.lexsort((terms, -scores, docs))
+        d_s, s_s, t_s = docs[order], scores[order], terms[order]
+        idx = np.arange(d_s.size)
+        newdoc = np.r_[True, d_s[1:] != d_s[:-1]]
+        start = np.maximum.accumulate(np.where(newdoc, idx, 0))
+        rank = (idx - start + 1).astype(np.int32)
+        keep = rank <= n
+        return pd.DataFrame(
+            {
+                "doc_id": d_s[keep],
+                "term": t_s[keep],
+                "tf_idf": s_s[keep],
+                "rank": rank[keep],
+            }
+        )
+
+    return run
+
+
+def _block_synonym_scorer(k: int | None):
+    """Per-block synonym-group scorer (Lucene ``SynonymQuery``): each
+    group of stems scores as ONE pseudo-term — ``gtf = sum`` of member
+    tfs per doc, weighted by the group's pre-computed ``wqt`` (from the
+    group's ANY-member df). Accumulation per doc runs in ascending
+    ``gid`` order (a fixed fold, so the float result is reproducible
+    cross-engine), normalization by the in-block L_d, tie-break doc_id
+    asc — the :func:`_block_scorer` discipline with group-tf blending
+    in front. ``allowed``/``blocked`` kwargs keep it pluggable into
+    the filter/tombstone cogroup adapters."""
+
+    def score(
+        pdf: pd.DataFrame,
+        *,
+        allowed: np.ndarray | None = None,
+        blocked: np.ndarray | None = None,
+    ) -> pd.DataFrame:
+        per_gid: dict[int, list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+        wqt_by_gid: dict[int, float] = {}
+        for gid, wqt, pblob, wblob in zip(
+            pdf["gid"], pdf["wqt"], pdf["postings_bin"], pdf["weights_bin"]
+        ):
+            d, t = codec.decode_postings(bytes(pblob))
+            w = np.frombuffer(bytes(wblob), dtype="<f8")
+            per_gid.setdefault(int(gid), []).append((d, t, w))
+            wqt_by_gid[int(gid)] = float(wqt)
+        doc_parts, partial_parts, weight_parts = [], [], []
+        for gid in sorted(per_gid):
+            parts = per_gid[gid]
+            docs_g = np.concatenate([p[0] for p in parts])
+            tfs_g = np.concatenate([p[1] for p in parts]).astype(np.float64)
+            w_g = np.concatenate([p[2] for p in parts])
+            uq, inv = np.unique(docs_g, return_inverse=True)
+            gtf = np.zeros(uq.size)
+            np.add.at(gtf, inv, tfs_g)  # integer tfs: exact in float64
+            ld = np.empty(uq.size)
+            ld[inv] = w_g
+            doc_parts.append(uq)
+            partial_parts.append(wqt_by_gid[gid] * (1.0 + np.log(gtf)))
+            weight_parts.append(ld)
+        docs = np.concatenate(doc_parts)
+        partials = np.concatenate(partial_parts)
+        weights = np.concatenate(weight_parts)
+        if allowed is not None:
+            keep = np.isin(docs, allowed)
+            docs, partials, weights = docs[keep], partials[keep], weights[keep]
+        if blocked is not None and blocked.size:
+            keep = ~np.isin(docs, blocked)
+            docs, partials, weights = docs[keep], partials[keep], weights[keep]
+        uniq, inv = np.unique(docs, return_inverse=True)
+        acc = np.zeros(uniq.size)
+        np.add.at(acc, inv, partials)  # gid-ascending addition order
+        ld = np.empty(uniq.size)
+        ld[inv] = weights
+        scores = acc / ld
+        idx = np.lexsort((uniq, -scores))
+        if k is not None:
+            idx = idx[:k]
+        return pd.DataFrame({"doc_id": uniq[idx], "score": scores[idx]})
+
+    return score
+
+
+def _block_group_union():
+    """Per-block ANY-member doc counter for synonym groups: emits
+    (gid, df_partial) = |union of the group's member doc sets within
+    this block|. Blocks partition the doc space, so the integer
+    partials sum to the group's exact corpus df."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs: dict[int, list[np.ndarray]] = {}
+        for gid, blob in zip(pdf["gid"], pdf["postings_bin"]):
+            d, _t = codec.decode_postings(bytes(blob))
+            arrs.setdefault(int(gid), []).append(d)
+        gids = sorted(arrs)
+        return pd.DataFrame(
+            {
+                "gid": np.array(gids, dtype=np.int32),
+                "df": np.array(
+                    [
+                        int(np.unique(np.concatenate(arrs[g])).size)
+                        for g in gids
+                    ],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    return run
+
+
+def _cogroup_conv_tf():
+    """Per-block (conv, term, role, tf) extractor for index-backed
+    BM25F: the left cogroup side is the query-pruned posting cells of a
+    block, the right side is that block's docs metadata (doc_id →
+    conv_id, role). Decodes the cells, maps each posting's doc to its
+    conversation and role, and emits block-local integer partials
+    (summed exactly downstream). The corpus text is never re-tokenized
+    — tfs come from the index."""
+
+    def run(cells: pd.DataFrame, meta: pd.DataFrame) -> pd.DataFrame:
+        if len(cells) == 0 or len(meta) == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype=object),
+                    "term": pd.Series(dtype=object),
+                    "role": pd.Series(dtype=object),
+                    "tf": pd.Series(dtype="int64"),
+                }
+            )
+        m = meta.drop_duplicates("doc_id").set_index("doc_id")
+        doc_parts, term_parts, tf_parts = [], [], []
+        for term, blob in zip(cells["term"], cells["postings_bin"]):
+            d, t = codec.decode_postings(bytes(blob))
+            doc_parts.append(d)
+            tf_parts.append(t.astype(np.int64))
+            term_parts.append(np.full(d.size, term, dtype=object))
+        long = pd.DataFrame(
+            {
+                "doc_id": np.concatenate(doc_parts),
+                "term": np.concatenate(term_parts),
+                "tf": np.concatenate(tf_parts),
+            }
+        )
+        long = long.join(m[["conv_id", "role"]], on="doc_id", how="inner")
+        out = (
+            long.groupby(["conv_id", "term", "role"], as_index=False)["tf"]
+            .sum()
+        )
+        return out[["conv_id", "term", "role", "tf"]]
+
+    return run
+
+
 class TranscriptSearchEngine:
     #: default byte ceiling above which a table is never persisted —
     #: big enough for every dictionary/kgram table we build locally,
@@ -993,17 +1212,24 @@ class TranscriptSearchEngine:
         )
 
     def _scored_blocks(
-        self, cells: DataFrame, scorer, where
+        self, cells: DataFrame, scorer, where, allowed_df: DataFrame | None = None
     ) -> DataFrame:
         """Per-block scoring, optionally cogrouped with a metadata
         filter (see :func:`_cogroup_filtered`) and/or the tombstone
         snapshot (see :func:`_cogroup_blocked`). With BOTH a filter and
         tombstones, the tombstones are anti-joined out of the (already
-        co-shuffled) allowed set — one cogroup either way."""
+        co-shuffled) allowed set — one cogroup either way.
+
+        ``allowed_df`` short-circuits the predicate path with an
+        explicit (doc_id, block_id) candidate set — the must-clause
+        shape (phrase-constrained ranking): candidates restrict the
+        RANKING, never the statistics."""
         out_schema = "doc_id long, score double"
         tomb = self.tombstones
-        if where is not None:
-            allowed = self._allowed_by_block(where)
+        if where is not None or allowed_df is not None:
+            allowed = (
+                allowed_df if allowed_df is not None else self._allowed_by_block(where)
+            )
             if tomb is not None:
                 allowed = allowed.join(
                     F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
@@ -1892,6 +2118,347 @@ class TranscriptSearchEngine:
             (int(r["doc_id"]), float(r["score"]))
             for r in self.prf_query_df(query, k, fb_docs, n_expansion).collect()
         ]
+
+    # ------------------------------------------------ index-backed analytics
+    def significant_terms_df(
+        self, query: str, n: int = 10, min_fg_df: int = 2
+    ) -> DataFrame:
+        """Significant-terms aggregation ON THE INDEX (the scale path of
+        :func:`search_engine_spark.simple.significant_terms`): terms
+        unusually frequent in the docs matching ANY query term vs the
+        background corpus, scored by JLH ``(fg_rate - bg_rate) *
+        (fg_rate / bg_rate)``. Output (term, fg_df, df, score) — top
+        ``n`` by unrounded score desc, term asc; query terms excluded,
+        ``min_fg_df`` suppresses one-doc noise.
+
+        Cost shape — the corpus is NEVER re-tokenized: the foreground
+        doc set comes from the engine's per-block any-term path, fg_df
+        from decoding posting cells of ONLY the blocks that contain
+        foreground docs (one cogroup, integer partials), bg df from the
+        terms dictionary, N / fg_n folded as literals. At 100 TB a
+        selective query touches the few posting blocks its foreground
+        occupies; the re-analyze-everything plan of the relational twin
+        is exactly what this method exists to avoid."""
+        qt = sorted({t for t in self._ranked_terms(query) if t})
+        schema = "term string, fg_df long, df long, score double"
+        empty = self.spark.createDataFrame([], schema)
+        present = [t for t in qt if self._term_dfs(qt).get(t)]
+        if not present:
+            return empty
+        fg = (
+            self._mask_deleted(self._any_term_df(present))
+            .select("doc_id", self._block_id_col())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            fg_n = fg.count()
+            if fg_n == 0:
+                return empty
+            blocks = fg.select("block_id").distinct()
+            cells = self.postings.join(
+                F.broadcast(blocks), "block_id", "left_semi"
+            ).select("block_id", "term", "postings_bin")
+            fg_counts = (
+                cells.groupBy("block_id")
+                .cogroup(fg.groupBy("block_id"))
+                .applyInPandas(_cogroup_fg_df(), "term string, fg_df long")
+            )
+            fgd = (
+                fg_counts.groupBy("term")
+                .agg(F.sum("fg_df").cast("long").alias("fg_df"))
+                .where(~F.col("term").isin(qt))
+                .where(F.col("fg_df") >= int(min_fg_df))
+            )
+            # background df straight from the dictionary snapshot —
+            # stats stay corpus-global (pre-delete, the Lucene
+            # deleted-docs discipline the tombstone paths follow)
+            fg_rate = F.col("fg_df") / F.lit(float(fg_n))
+            bg_rate = F.col("df") / F.lit(float(self.num_docs))
+            score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+            rows = (
+                fgd.join(self.terms.select("term", "df"), "term")
+                .select("term", "fg_df", "df", score.alias("_s"))
+                .orderBy(F.desc("_s"), F.asc("term"))
+                .limit(int(n))
+                .select("term", "fg_df", "df", F.round("_s", 6).alias("score"))
+                .collect()
+            )
+        finally:
+            fg.unpersist()
+        return self.spark.createDataFrame(rows, schema)
+
+    def keywords_df(self, n: int = 5) -> DataFrame:
+        """Per-doc top-``n`` terms by tf-idf ON THE INDEX (the scale
+        path of :func:`search_engine_spark.simple.keywords`):
+        (doc_id, term, tf_idf, rank), ranked by the unrounded
+        ``(1+ln tf)·ln(1+N/df)`` with ties on term asc.
+
+        Cost shape: keywords is inherently a full reorganization of the
+        index from term-major to doc-major, so ONE shuffle of the
+        compressed posting blocks (groupBy block_id) is the floor — but
+        text is never re-tokenized and the blobs move varbyte-compressed.
+        The dictionary join runs on a metadata-only projection of the
+        postings scan (term + block_id columns — Parquet never reads the
+        binary columns for that branch), so only slim rows join against
+        ``terms``. Per-doc top-n is complete within a block (blocks
+        partition the doc space) — no corpus-wide window."""
+        # the slim branch reads the SAME parquet through a fresh relation
+        # (new attribute ids — Spark's ambiguous-self-join check rejects
+        # cogrouping two projections of one Dataset); column pruning
+        # keeps this scan to the term/block_id columns only
+        slim = self.spark.read.parquet(
+            fsio.join(self.index_dir, self._table_names.get("postings", "postings"))
+        ).select("block_id", "term")
+        dfs_by_block = slim.join(self.terms.select("term", "df"), "term").select(
+            "block_id", "term", "df"
+        )
+        cells = self.postings.select("block_id", "term", "postings_bin")
+        out = (
+            cells.groupBy("block_id")
+            .cogroup(dfs_by_block.groupBy("block_id"))
+            .applyInPandas(
+                _cogroup_keywords(int(n), float(self.num_docs)),
+                "doc_id long, term string, tf_idf double, rank int",
+            )
+        )
+        return self._mask_deleted(out).select(
+            "doc_id", "term", F.round("tf_idf", 6).alias("tf_idf"), "rank"
+        )
+
+    def ranked_explain_df(self, query: str, k: int = DEFAULT_K) -> DataFrame:
+        """Score explanation for the ranked top-``k`` (Lucene
+        ``explain()``; the scale path of
+        :func:`search_engine_spark.simple.ranked_explain`): one row per
+        (top-k doc, query term) with every factor — tf, df,
+        ``wqt = ln(1+N/df)``, ``wdt = 1+ln tf``, the doc's L_d
+        (``weight``) and ``contrib = wqt·wdt/L_d`` — so a doc's
+        contribs sum to its :meth:`ranked_query_df` score.
+
+        Cost shape: the underlying ranked query runs as usual; the
+        explain pass then decodes ONLY the query terms' cells in the
+        k result docs' blocks (term + block isin pushdown) and masks to
+        the k ids — O(k · |terms|) output, no corpus scan, no
+        re-tokenize."""
+        qt = sorted({t for t in self._ranked_terms(query) if t})
+        dfs = self._term_dfs(qt)
+        present = [t for t in qt if dfs.get(t)]
+        schema = (
+            "doc_id long, term string, tf long, df long, wqt double, "
+            "wdt double, weight double, contrib double"
+        )
+        empty = self.spark.createDataFrame([], schema)
+        if not present:
+            return empty
+        top = [
+            int(r["doc_id"]) for r in self.ranked_query_df(query, k).collect()
+        ]
+        if not top:
+            return empty
+        blocks = sorted({d // self.block_span for d in top})
+        allowed = np.array(sorted(top), dtype=np.int64)
+        cells = (
+            self._postings_for_terms(present)
+            .where(F.col("block_id").isin(blocks))
+            .select("term", "postings_bin", "weights_bin")
+        )
+
+        def extract(batches):
+            for pdf in batches:
+                outs: dict[str, list] = {
+                    "doc_id": [],
+                    "term": [],
+                    "tf": [],
+                    "weight": [],
+                }
+                for term, pblob, wblob in zip(
+                    pdf["term"], pdf["postings_bin"], pdf["weights_bin"]
+                ):
+                    d, t = codec.decode_postings(bytes(pblob))
+                    w = np.frombuffer(bytes(wblob), dtype="<f8")
+                    keep = np.isin(d, allowed, assume_unique=True)
+                    if not keep.any():
+                        continue
+                    outs["doc_id"].append(d[keep])
+                    outs["tf"].append(t[keep].astype(np.int64))
+                    outs["weight"].append(w[keep])
+                    outs["term"].append(
+                        np.full(int(keep.sum()), term, dtype=object)
+                    )
+                if outs["doc_id"]:
+                    yield pd.DataFrame(
+                        {c: np.concatenate(v) for c, v in outs.items()}
+                    )
+
+        ext = cells.mapInPandas(
+            extract, "doc_id long, term string, tf long, weight double"
+        )
+        qdf = self.spark.createDataFrame(
+            [(t, int(dfs[t])) for t in present], "term string, df long"
+        )
+        wqt = F.log(F.lit(1.0) + F.lit(float(self.num_docs)) / F.col("df"))
+        wdt = F.lit(1.0) + F.log("tf")
+        return ext.join(F.broadcast(qdf), "term").select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(wqt, 6).alias("wqt"),
+            F.round(wdt, 6).alias("wdt"),
+            F.round(F.col("weight"), 6).alias("weight"),
+            F.round(wqt * wdt / F.col("weight"), 6).alias("contrib"),
+        )
+
+    def phrase_ranked_df(self, query: str, k: int = DEFAULT_K) -> DataFrame:
+        """Exact-phrase-constrained ranked retrieval ON THE INDEX
+        (Lucene ``PhraseQuery`` as a scored must-clause; the scale path
+        of :func:`search_engine_spark.simple.phrase_ranked`): only docs
+        containing the terms at consecutive positions qualify, and
+        qualifiers rank by the standard tf-idf formula over the
+        phrase's terms. Statistics (N, df, L_d) stay corpus-global —
+        the phrase restricts the CANDIDATES, exactly the ``where=`` /
+        tombstone discipline (masking happens BEFORE per-block top-k
+        truncation, via the same cogroup adapter)."""
+        terms = [t for t in (query_normalize(w) for w in query.split()) if t]
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not terms:
+            return empty
+        cells = self._ranked_cells(terms)
+        if cells is None:
+            return empty
+        allowed = self._phrase_df(terms).select(
+            "doc_id", self._block_id_col()
+        )
+        scored = self._scored_blocks(
+            cells, _block_scorer(k), None, allowed_df=allowed
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def synonym_ranked_df(
+        self, groups: list[list[str]], k: int = DEFAULT_K
+    ) -> DataFrame:
+        """Synonym-expanded ranked retrieval ON THE INDEX (Lucene
+        ``SynonymQuery`` blending; the scale path of
+        :func:`search_engine_spark.simple.synonym_ranked`): each group
+        of synonymous words scores as ONE pseudo-term — group tf = sum
+        of member tfs, group df = docs containing ANY member — so a doc
+        is not rewarded for matching several spellings of one concept.
+
+        Two pruned jobs, no corpus re-tokenize: (1) group dfs by
+        per-block union counts over the members' posting cells (blocks
+        partition docs, so the integer partials sum exactly); (2) the
+        standard per-block scoring plan with group-tf blending inside
+        the scorer (:func:`_block_synonym_scorer`), tombstones
+        cogrouped as usual."""
+        mapping: list[tuple[str, int]] = []
+        for gi, g in enumerate(groups):
+            stems = sorted({query_normalize(w) for w in g if query_normalize(w)})
+            mapping.extend((t, gi) for t in stems)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not mapping:
+            return empty
+        qdf = self.spark.createDataFrame(mapping, "term string, gid int")
+        gcells = (
+            self._postings_for_terms([t for t, _ in mapping])
+            .join(F.broadcast(qdf), "term")
+            .select("block_id", "gid", "term", "postings_bin")
+        )
+        gdf_rows = (
+            gcells.groupBy("block_id")
+            .applyInPandas(_block_group_union(), "gid int, df long")
+            .groupBy("gid")
+            .agg(F.sum("df").cast("long").alias("df"))
+            .collect()
+        )
+        gdfs = {int(r["gid"]): int(r["df"]) for r in gdf_rows if r["df"]}
+        if not gdfs:
+            return empty
+        live = [(t, gi) for t, gi in mapping if gi in gdfs]
+        wdf = self.spark.createDataFrame(
+            [
+                (t, gi, float(log(1 + self.num_docs / gdfs[gi])))
+                for t, gi in live
+            ],
+            "term string, gid int, wqt double",
+        )
+        cells = (
+            self._postings_for_terms([t for t, _ in live])
+            .join(F.broadcast(wdf), "term")
+            .select("block_id", "gid", "wqt", "postings_bin", "weights_bin")
+        )
+        scored = self._scored_blocks(cells, _block_synonym_scorer(k), None)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def bm25f_conv_df(
+        self,
+        query: str,
+        weights: dict[str, float] | None = None,
+        k: int = DEFAULT_K,
+        k1: float = 1.5,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Conversation-level BM25F ON THE INDEX (roles are the fields;
+        the scale path of
+        :func:`search_engine_spark.simple.bm25f_conv`): per-field
+        length-normalized tfs blend BEFORE the single saturation, idf
+        over any-field conversation df. Scoring reuses the relational
+        twin's fixed-order expression tree
+        (:func:`search_engine_spark.simple.bm25f_score_topk`) over
+        integer tables, so the float result is identical between the
+        two paths by construction.
+
+        Cost shape — no corpus re-tokenize: per-(conv, term, role) tfs
+        come from decoding the QUERY-PRUNED posting cells cogrouped
+        with a blocks-restricted docs-metadata projection
+        (:func:`_cogroup_conv_tf`, the ``_cogroup_boosted`` shape);
+        per-(conv, role) field lengths come from ``doc_stats`` (the
+        index's own doc_len), one thin join + integer agg."""
+        from search_engine_spark.simple import bm25f_score_topk
+
+        weights = weights or {"user": 1.0, "assistant": 2.0, "tool": 0.5}
+        roles = sorted(weights)
+        words = query.split() if isinstance(query, str) else list(query)
+        qstems = sorted({query_normalize(w) for w in words if query_normalize(w)})
+        cells = self._postings_for_terms(qstems).select(
+            "block_id", "term", "postings_bin"
+        )
+        blocks = cells.select("block_id").distinct()
+        meta = (
+            self.docs.select(
+                "doc_id", self._block_id_col(), "conv_id", "role"
+            )
+            .where(F.col("role").isin(roles))
+            .join(F.broadcast(blocks), "block_id", "left_semi")
+        )
+        ctf_long = (
+            cells.groupBy("block_id")
+            .cogroup(meta.groupBy("block_id"))
+            .applyInPandas(
+                _cogroup_conv_tf(),
+                "conv_id string, term string, role string, tf long",
+            )
+            .groupBy("conv_id", "term", "role")
+            .agg(F.sum("tf").cast("long").alias("tf"))
+        )
+        clen_long = (
+            self.docs.select("doc_id", "conv_id", "role")
+            .join(self.doc_stats.select("doc_id", "doc_len"), "doc_id")
+            .groupBy("conv_id", "role")
+            .agg(F.sum("doc_len").cast("long").alias("flen"))
+        )
+        return bm25f_score_topk(
+            self.spark, ctf_long, clen_long, qstems, roles, weights, k1, b, k
+        )
+
+    def regex_vocab_df(self, pattern: str) -> DataFrame:
+        """Vocabulary terms matching a regex, with df (Lucene
+        ``RegexpQuery`` expansion) — ON THE DICTIONARY snapshot: the
+        regex runs |vocab| times over the terms table, never touching
+        postings or text. Keep patterns in the Java∩RE2 common subset
+        (the :mod:`..ops.pii` discipline) so SQL oracles replicate
+        them. Output (word, df)."""
+        return self.terms.where(F.col("term").rlike(pattern)).select(
+            F.col("term").alias("word"), "df"
+        )
 
     # --------------------------------------------------------------- snippets
     def search(

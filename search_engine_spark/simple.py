@@ -229,38 +229,86 @@ def bm25f_conv(
     roles = sorted(weights)
     qt = sorted(set(query_terms))
 
-    tok = turns.select(
-        "conv_id",
-        "role",
-        F.explode(_tokens("text")).alias("term"),
-    ).where(F.col("term").isin(qt))
+    # long-format integer partials; the wide pivot + fixed expression
+    # tree live in :func:`bm25f_score_topk`, shared with the
+    # index-backed engine path (integer partials are exact under any
+    # aggregation, so long-vs-wide construction cannot change scores)
+    ctf_long = (
+        turns.select(
+            "conv_id",
+            "role",
+            F.explode(_tokens("text")).alias("term"),
+        )
+        .where(F.col("term").isin(qt))
+        .groupBy("conv_id", "term", "role")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    # per-(conv, role) integer field lengths (no explode: size(split))
+    clen_long = turns.groupBy("conv_id", "role").agg(
+        F.sum(F.size(_tokens("text"))).cast("long").alias("flen")
+    )
+    return bm25f_score_topk(
+        turns.sparkSession, ctf_long, clen_long, qt, roles, weights, k1, b, k
+    )
+
+
+def bm25f_score_topk(
+    spark,
+    ctf_long: DataFrame,
+    clen_long: DataFrame,
+    qt: list[str],
+    roles: list[str],
+    weights: dict[str, float],
+    k1: float,
+    b: float,
+    k: int,
+) -> DataFrame:
+    """The BM25F scoring core shared by :func:`bm25f_conv` (tokens from
+    a whitespace re-tokenize) and
+    :meth:`..engine.TranscriptSearchEngine.bm25f_conv_df` (tfs decoded
+    from posting cells, lengths from ``doc_stats``). Inputs are
+    LONG-format integer tables — ``ctf_long (conv_id, term, role, tf)``
+    and ``clen_long (conv_id, role, flen)`` — pivoted here into
+    per-(term, role) integer columns and scored through one fixed-order
+    expression tree (sorted roles / sorted terms), so the float result
+    is bit-identical for any producer of the same integers."""
+    from pyspark import StorageLevel
+
     # per-conv integer tf matrix: one column per (term, role)
     tf_cols = [
-        F.sum(
-            ((F.col("term") == t) & (F.col("role") == r)).cast("long")
-        ).alias(f"tf_{ti}_{ri}")
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("term") == t) & (F.col("role") == r), F.col("tf")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias(f"tf_{ti}_{ri}")
         for ti, t in enumerate(qt)
         for ri, r in enumerate(roles)
     ]
-    from pyspark import StorageLevel
-
     # ctf and clen each feed BOTH a corpus-stat collect and the final
-    # scored join; without a persist the tokenize/length scans would run
+    # scored join; without a persist the producing scans would run
     # twice. MEMORY_AND_DISK keeps lineage recomputable (executor loss
     # re-derives, unlike a localCheckpoint), and both tables are
     # conv-keyed aggregates — already corpus-reduced before caching.
-    ctf = tok.groupBy("conv_id").agg(*tf_cols).persist(StorageLevel.MEMORY_AND_DISK)
-    # per-conv integer field lengths (no explode: size(split) per turn)
+    ctf = (
+        ctf_long.groupBy("conv_id")
+        .agg(*tf_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     len_cols = [
-        F.sum(
-            F.when(F.col("role") == r, F.size(_tokens("text"))).otherwise(
-                F.lit(0)
-            )
-        ).alias(f"len_{ri}")
+        F.coalesce(
+            F.sum(F.when(F.col("role") == r, F.col("flen"))), F.lit(0)
+        )
+        .cast("long")
+        .alias(f"len_{ri}")
         for ri, r in enumerate(roles)
     ]
     clen = (
-        turns.groupBy("conv_id")
+        clen_long.groupBy("conv_id")
         .agg(*len_cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -330,9 +378,7 @@ def bm25f_conv(
     finally:
         ctf.unpersist()
         clen.unpersist()
-    return turns.sparkSession.createDataFrame(
-        rows, "conv_id string, score double"
-    )
+    return spark.createDataFrame(rows, "conv_id string, score double")
 
 
 def term_tf_pairs(terms: list[str], text_col: str = "text") -> Column:
