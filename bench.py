@@ -183,6 +183,30 @@ def main() -> None:
             "prf_engine",
             lambda: eng.prf_query("spark join fast", k=10),
         ),
+        # ---- index-backed analytics (no corpus re-tokenize) ----
+        (
+            "engine_significant_terms",
+            lambda: eng.significant_terms_df("spark join fast", n=10).count(),
+        ),
+        ("engine_keywords", lambda: eng.keywords_df(n=3).count()),
+        (
+            "engine_explain",
+            lambda: eng.ranked_explain_df("spark join fast", k=10).collect(),
+        ),
+        (
+            "engine_phrase_ranked",
+            lambda: eng.phrase_ranked_df("hash join", k=10).collect(),
+        ),
+        (
+            "engine_synonym_ranked",
+            lambda: eng.synonym_ranked_df(
+                [["join", "merge"], ["fast", "quick"]], k=10
+            ).collect(),
+        ),
+        (
+            "engine_bm25f_conv",
+            lambda: eng.bm25f_conv_df("spark join fast", k=10).count(),
+        ),
         # ---- simple-analyzer relational path ----
         ("tf_table_agg", lambda: simple.tf_table(docs).count()),
         (

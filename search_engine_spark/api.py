@@ -193,12 +193,32 @@ class SearchService:
     # ---- POST /showterms --------------------------------------------------
     def showterms(self) -> dict:
         """Vocab grouped by first letter, empty term dropped
-        (``searchengine.py:59-70``; capped, see ``MAX_TERMS_INLINE``)."""
+        (``searchengine.py:59-70``; capped, see ``MAX_TERMS_INLINE``).
+
+        The inline listing is a bounded dictionary page, but the
+        grouping STATS run cluster-side over the whole terms table
+        (one tiny groupBy-letter aggregate — |letters| rows back), so
+        at 100 TB the UI still reports truthful per-letter and total
+        counts even when the page is capped."""
+        assert self.engine is not None, "buildindex first"
         alphabet: dict[str, list[str]] = defaultdict(list)
         for term in self._vocab_page():
             if term != "":
                 alphabet[term[0]].append(term)
-        return {"vocab": dict(alphabet)}
+        from pyspark.sql import functions as F
+
+        counts = {
+            r["letter"]: r["n"]
+            for r in self.engine.terms.where(F.col("term") != "")
+            .groupBy(F.substring("term", 1, 1).alias("letter"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+        return {
+            "vocab": dict(alphabet),
+            "letter_counts": counts,
+            "total_terms": int(sum(counts.values())),
+        }
 
     # ---- POST /stem {term} ------------------------------------------------
     def stem_term(self, term: str) -> dict:

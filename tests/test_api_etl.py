@@ -55,9 +55,13 @@ def test_query_spell_corrected(service):
 
 
 def test_showterms_groups(service):
-    groups = service.showterms()["vocab"]
+    out = service.showterms()
+    groups = out["vocab"]
     assert "test" in groups["t"]
     assert "" not in groups  # empty term dropped (searchengine.py:66)
+    # cluster-side stats match the (uncapped here) inline page
+    assert out["letter_counts"] == {k: len(v) for k, v in groups.items()}
+    assert out["total_terms"] == sum(len(v) for v in groups.values())
 
 
 def test_stem_endpoint(service):
