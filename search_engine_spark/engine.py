@@ -215,6 +215,61 @@ def _block_phrase(n_slots: int, block_span: int):
     return run
 
 
+def _block_colloc_pairs(block_span: int):
+    """Per-block adjacent-bigram partial counts from posting positions
+    (the decode half of index-backed collocations).
+
+    Same composite-key trick as :func:`_block_phrase`: every decoded
+    occurrence becomes ``(doc_id - block_base) * 2^33 + pos``; an
+    adjacent pair (term_a at pos, term_b at pos+1, same doc) is then a
+    hash-merge of the occurrence table against itself on ``key`` vs
+    ``key - 1`` — positions are doc-local and < 2^33, so a doc's last
+    position + 1 can never alias into the next doc's key space, and
+    blocks partition the doc space, so no pair crosses a block.
+    Multi-term positions (dehyphenation sub-terms share one position,
+    ``normalize.py`` semantics) contribute their cross product, exactly
+    the self-join semantics of the positional-dump oracle. Output is
+    pre-aggregated per block: (term_a, term_b, cnt).
+    """
+
+    def run(key, pdf):
+        base = int(key[0]) * block_span
+        keys: list[np.ndarray] = []
+        terms: list[np.ndarray] = []
+        for term, pblob, posblob in zip(
+            pdf["term"], pdf["postings_bin"], pdf["positions_bin"]
+        ):
+            d, t = codec.decode_postings(bytes(pblob))
+            flat = codec.decode_positions_flat(bytes(posblob), t)
+            keys.append((np.repeat(d, t) - base) * np.int64(1 << 33) + flat)
+            terms.append(np.full(len(flat), str(term), dtype=object))
+        empty = pd.DataFrame(
+            {
+                "term_a": pd.Series([], dtype=object),
+                "term_b": pd.Series([], dtype=object),
+                "cnt": pd.Series([], dtype="int64"),
+            }
+        )
+        if not keys:
+            return empty
+        k_all = np.concatenate(keys)
+        t_all = np.concatenate(terms)
+        left = pd.DataFrame({"k": k_all, "term_a": t_all})
+        right = pd.DataFrame({"k": k_all - np.int64(1), "term_b": t_all})
+        m = left.merge(right, on="k")
+        if m.empty:
+            return empty
+        out = (
+            m.groupby(["term_a", "term_b"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out[["term_a", "term_b", "cnt"]]
+
+    return run
+
+
 def _cogroup_filtered(scorer):
     """Adapter turning a block scorer into a ``cogroup().applyInPandas``
     worker for metadata-filtered retrieval: the left side is the
@@ -2459,6 +2514,84 @@ class TranscriptSearchEngine:
         return self.terms.where(F.col("term").rlike(pattern)).select(
             F.col("term").alias("word"), "df"
         )
+
+    def collocations_df(self, min_count: int = 5, k: int = 20) -> DataFrame:
+        """Top-``k`` adjacent-bigram collocations by PMI ON THE INDEX
+        (the scale path of
+        :func:`search_engine_spark.ops.textstats.collocations`):
+        (term_a, term_b, n_pair, pmi) with
+        ``pmi = ln(P(ab) / (P(a)·P(b)))``, ``min_count`` suppressing the
+        unstable tail, ties on (term_a, term_b) asc — the corpus text is
+        never re-tokenized.
+
+        Cost shape: ONE decode pass over the posting blocks
+        (``applyInPandas`` per block — blocks partition the doc space
+        and positions are doc-local, so every adjacent pair is
+        block-local) emitting pre-aggregated (term_a, term_b) partials;
+        one pair-keyed shuffle sums them. Unigram counts and the token
+        total come FREE from the terms dictionary (``cf`` = Σtf — the
+        occurrence count the positional dump would give), so the only
+        corpus-sized work is the varbyte decode. Stats are
+        corpus-global (tombstoned docs included until compaction — the
+        Lucene deleted-docs discipline the other analytics paths
+        follow). The pair table persists across its two consumers
+        (the n_pairs total and the final top-k) and is unpersisted
+        before returning the collected k rows."""
+        schema = "term_a string, term_b string, n_pair long, pmi double"
+        empty = self.spark.createDataFrame([], schema)
+        cells = self.postings.select(
+            "block_id", "term", "postings_bin", "positions_bin"
+        )
+        partials = cells.groupBy("block_id").applyInPandas(
+            _block_colloc_pairs(self.block_span),
+            "term_a string, term_b string, cnt long",
+        )
+        pairs = (
+            partials.groupBy("term_a", "term_b")
+            .agg(F.sum("cnt").cast("long").alias("n_pair"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            total = pairs.select(F.sum("n_pair").alias("t")).first()["t"]
+            if not total:
+                return empty
+            n_pairs = float(total)
+            n_tok = float(
+                self.terms.select(F.sum("cf").alias("t")).first()["t"] or 0
+            )
+            uni = self.terms.select("term", "cf")
+            pmi = F.log(
+                (F.col("n_pair").cast("double") / F.lit(n_pairs))
+                / (
+                    (F.col("c_a").cast("double") / F.lit(n_tok))
+                    * (F.col("c_b").cast("double") / F.lit(n_tok))
+                )
+            )
+            rows = (
+                pairs.where(F.col("n_pair") >= int(min_count))
+                .join(
+                    uni.select(
+                        F.col("term").alias("term_a"), F.col("cf").alias("c_a")
+                    ),
+                    "term_a",
+                )
+                .join(
+                    uni.select(
+                        F.col("term").alias("term_b"), F.col("cf").alias("c_b")
+                    ),
+                    "term_b",
+                )
+                .select("term_a", "term_b", "n_pair", pmi.alias("_s"))
+                .orderBy(F.desc("_s"), F.asc("term_a"), F.asc("term_b"))
+                .limit(int(k))
+                .select(
+                    "term_a", "term_b", "n_pair", F.round("_s", 6).alias("pmi")
+                )
+                .collect()
+            )
+        finally:
+            pairs.unpersist()
+        return self.spark.createDataFrame(rows, schema)
 
     # --------------------------------------------------------------- snippets
     def search(

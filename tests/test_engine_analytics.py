@@ -152,6 +152,17 @@ def test_bm25f_conv_matches_simple(analytics_engine):
     assert len(_rows(got)) > 5
 
 
+def test_collocations_matches_textstats(analytics_engine):
+    from search_engine_spark.ops import textstats
+
+    got = analytics_engine.collocations_df(min_count=2, k=50)
+    want = textstats.collocations(
+        analytics_engine.docs, min_count=2, k=50, text_col="text"
+    )
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) == 50
+
+
 def test_regex_vocab_matches_simple(analytics_engine):
     got = analytics_engine.regex_vocab_df(REGEX)
     want = simple.regex_vocab(analytics_engine.docs, REGEX)
@@ -169,8 +180,13 @@ def test_engine_analytics_never_retokenize(analytics_engine, monkeypatch):
     def _boom(*_a, **_k):
         raise AssertionError("engine analytics re-tokenized the corpus")
 
+    from search_engine_spark.ops import textstats
+
     monkeypatch.setattr(simple, "_tokens", _boom)
     monkeypatch.setattr(simple, "tf_table", _boom)
+    monkeypatch.setattr(textstats, "_tokens", _boom)
+    monkeypatch.setattr(textstats, "bigram_pairs", _boom)
+    assert eng.collocations_df(min_count=2, k=5).count() > 0
     assert eng.significant_terms_df(QUERY, n=5).count() > 0
     assert eng.keywords_df(n=2).count() > 0
     assert eng.ranked_explain_df(QUERY, k=3).count() > 0
