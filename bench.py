@@ -207,6 +207,10 @@ def main() -> None:
             "engine_bm25f_conv",
             lambda: eng.bm25f_conv_df("spark join fast", k=10).count(),
         ),
+        (
+            "engine_collocations",
+            lambda: eng.collocations_df(min_count=5, k=20).count(),
+        ),
         # ---- simple-analyzer relational path ----
         ("tf_table_agg", lambda: simple.tf_table(docs).count()),
         (

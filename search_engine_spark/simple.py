@@ -605,46 +605,58 @@ def bm25_topk(
     integer doc count, one double division) so the oracle reproduces
     it bit-identically.
     """
+    from pyspark import StorageLevel
+
     spark = docs.sparkSession
     n_docs = docs.count()
-    tf = tf_table(docs, text_col, id_col)
-    doclen = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
-    total_tokens = doclen.agg(F.sum("dl")).first()[0]
-    if n_docs == 0 or total_tokens is None:
-        # empty corpus: sum() is NULL and avgdl would divide by zero —
-        # return the empty result like the engine path's guard
-        return spark.createDataFrame([], f"{id_col} long, score double")
-    avgdl = float(total_tokens) / float(n_docs)
-    qdf = spark.createDataFrame([(t,) for t in set(query_terms)], "term string")
-    dfs = term_stats(tf).join(F.broadcast(qdf), "term").select("term", "df")
-    scored = (
-        tf.join(F.broadcast(dfs), "term")
-        .join(doclen, id_col)
-        .select(
-            id_col,
-            (
-                F.log(
-                    F.lit(1.0)
-                    + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                )
-                * (
-                    (F.col("tf") * F.lit(k1 + 1.0))
-                    / (
-                        F.col("tf")
-                        + F.lit(k1)
-                        * (
-                            F.lit(1.0 - b)
-                            + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    # the tf table feeds THREE branches (doclen, the df dictionary, the
+    # scored join) plus the avgdl scalar collect — persist it so the
+    # corpus tokenizes once, not once per branch (the
+    # significant_terms pattern)
+    tf = tf_table(docs, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        doclen = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+        total_tokens = doclen.agg(F.sum("dl")).first()[0]
+        if n_docs == 0 or total_tokens is None:
+            # empty corpus: sum() is NULL and avgdl would divide by
+            # zero — return the empty result like the engine's guard
+            return spark.createDataFrame([], f"{id_col} long, score double")
+        avgdl = float(total_tokens) / float(n_docs)
+        qdf = spark.createDataFrame(
+            [(t,) for t in set(query_terms)], "term string"
+        )
+        dfs = term_stats(tf).join(F.broadcast(qdf), "term").select("term", "df")
+        scored = (
+            tf.join(F.broadcast(dfs), "term")
+            .join(doclen, id_col)
+            .select(
+                id_col,
+                (
+                    F.log(
+                        F.lit(1.0)
+                        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))
+                    )
+                    * (
+                        (F.col("tf") * F.lit(k1 + 1.0))
+                        / (
+                            F.col("tf")
+                            + F.lit(k1)
+                            * (
+                                F.lit(1.0 - b)
+                                + F.lit(b) * F.col("dl") / F.lit(avgdl)
+                            )
                         )
                     )
-                )
-            ).alias("partial"),
+                ).alias("partial"),
+            )
+            .groupBy(id_col)
+            .agg(F.round(F.sum("partial"), 6).alias("score"))
         )
-        .groupBy(id_col)
-        .agg(F.round(F.sum("partial"), 6).alias("score"))
-    )
-    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+        rows = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k).collect()
+    finally:
+        tf.unpersist()
+    return spark.createDataFrame(rows, f"{id_col} long, score double")
 
 
 def keywords(
