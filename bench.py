@@ -211,6 +211,12 @@ def main() -> None:
             "engine_collocations",
             lambda: eng.collocations_df(min_count=5, k=20).count(),
         ),
+        (
+            "engine_term_trends",
+            lambda: eng.term_trends_df(
+                ["spark", "join", "fast"], bucket_seconds=60
+            ).count(),
+        ),
         # ---- simple-analyzer relational path ----
         ("tf_table_agg", lambda: simple.tf_table(docs).count()),
         (

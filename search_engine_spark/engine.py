@@ -705,6 +705,56 @@ def _cogroup_conv_tf():
     return run
 
 
+def _cogroup_trend_tf():
+    """Per-block (term, bucket, n_turns, tf_sum) partials for the
+    index-backed term-trends view: the left cogroup side is the
+    query-pruned posting cells of one block, the right side that
+    block's (doc_id, bucket) metadata — the bucket is precomputed
+    JVM-side from ``ts`` by exact integer-microsecond arithmetic, so
+    only two thin long columns cross into Arrow. Decodes the cells,
+    maps each posting's doc to its time bucket, and emits block-local
+    integer partials (summed exactly downstream). The corpus text is
+    never re-tokenized — tfs come from the index."""
+
+    def run(cells: pd.DataFrame, meta: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "term": pd.Series(dtype=object),
+                "bucket": pd.Series(dtype="int64"),
+                "n_turns": pd.Series(dtype="int64"),
+                "tf_sum": pd.Series(dtype="int64"),
+            }
+        )
+        if len(cells) == 0 or len(meta) == 0:
+            return empty
+        m = meta.drop_duplicates("doc_id").set_index("doc_id")
+        doc_parts, term_parts, tf_parts = [], [], []
+        for term, blob in zip(cells["term"], cells["postings_bin"]):
+            d, t = codec.decode_postings(bytes(blob))
+            doc_parts.append(d)
+            tf_parts.append(t.astype(np.int64))
+            term_parts.append(np.full(d.size, term, dtype=object))
+        long = pd.DataFrame(
+            {
+                "doc_id": np.concatenate(doc_parts),
+                "term": np.concatenate(term_parts),
+                "tf": np.concatenate(tf_parts),
+            }
+        )
+        # inner join drops postings whose doc is absent from meta
+        # (tombstone-masked upstream) — the mask composes with the
+        # block-local pre-aggregation for free
+        long = long.join(m[["bucket"]], on="doc_id", how="inner")
+        if len(long) == 0:
+            return empty
+        out = long.groupby(["term", "bucket"], as_index=False).agg(
+            n_turns=("tf", "size"), tf_sum=("tf", "sum")
+        )
+        return out[["term", "bucket", "n_turns", "tf_sum"]]
+
+    return run
+
+
 class TranscriptSearchEngine:
     #: default byte ceiling above which a table is never persisted —
     #: big enough for every dictionary/kgram table we build locally,
@@ -2592,6 +2642,58 @@ class TranscriptSearchEngine:
         finally:
             pairs.unpersist()
         return self.spark.createDataFrame(rows, schema)
+
+    def term_trends_df(
+        self, terms, bucket_seconds: int = 3600
+    ) -> DataFrame:
+        """Term-frequency trend over tumbling event-time buckets ON THE
+        INDEX (the scale path of
+        :func:`search_engine_spark.simple.term_trends`): one row per
+        (term, bucket) with ``n_turns`` (live turns containing the
+        term) and ``tf_sum`` (total occurrences), ``bucket = floor(
+        epoch_seconds / bucket_seconds)`` on exact integer microseconds
+        so boundaries match the relational twin bit-for-bit.
+
+        Cost shape — no corpus re-tokenize: tfs come from decoding the
+        QUERY-PRUNED posting cells (``_postings_for_terms`` — bucket
+        directories + term row groups, I/O O(query terms)); timestamps
+        ride a TWO-COLUMN docs-metadata projection (doc_id, bucket —
+        the bucket arithmetic runs JVM-side in projection) restricted
+        to the matching blocks and tombstone-masked BEFORE the cogroup,
+        so deleted turns drop out of the trend while the per-block
+        partial aggregation is preserved. The only exchanges are the
+        block-keyed cogroup over O(matching docs) thin rows and one
+        partial-agg'd (term, bucket) shuffle whose map-side output is
+        at most |terms| x |buckets| rows per block."""
+        words = terms.split() if isinstance(terms, str) else list(terms)
+        qstems = sorted(
+            {query_normalize(w) for w in words if query_normalize(w)}
+        )
+        schema = "term string, bucket long, n_turns long, tf_sum long"
+        if not qstems:
+            return self.spark.createDataFrame([], schema)
+        cells = self._postings_for_terms(qstems).select(
+            "block_id", "term", "postings_bin"
+        )
+        blocks = cells.select("block_id").distinct()
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        b = F.lit(int(bucket_seconds) * 1_000_000)
+        meta = self._mask_deleted(
+            self.docs.select(
+                "doc_id",
+                self._block_id_col(),
+                ((us - F.pmod(us, b)) / b).cast("long").alias("bucket"),
+            ).join(F.broadcast(blocks), "block_id", "left_semi")
+        )
+        partials = (
+            cells.groupBy("block_id")
+            .cogroup(meta.groupBy("block_id"))
+            .applyInPandas(_cogroup_trend_tf(), schema)
+        )
+        return partials.groupBy("term", "bucket").agg(
+            F.sum("n_turns").cast("long").alias("n_turns"),
+            F.sum("tf_sum").cast("long").alias("tf_sum"),
+        )
 
     # --------------------------------------------------------------- snippets
     def search(

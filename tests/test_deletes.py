@@ -94,6 +94,16 @@ def test_facet_counts_exclude_deleted(deleted_engine):
     assert not (hits & dele)
 
 
+def test_term_trends_exclude_deleted(deleted_engine):
+    """The trend view masks tombstones (unlike the corpus-global
+    scoring stats): per-term n_turns must total the LIVE doc count for
+    that term — the boolean path's masked answer."""
+    eng, dele, _ = deleted_engine
+    trends = eng.term_trends_df(["test"], bucket_seconds=60).collect()
+    assert sum(r["n_turns"] for r in trends) == len(eng.boolean_query("test"))
+    assert all(r["tf_sum"] >= r["n_turns"] for r in trends)
+
+
 def test_delete_validates_ids(deleted_engine):
     eng, _, _ = deleted_engine
     with pytest.raises(ValueError, match="outside"):

@@ -172,6 +172,16 @@ def test_regex_vocab_matches_simple(analytics_engine):
     }
 
 
+def test_term_trends_matches_simple(analytics_engine):
+    got = analytics_engine.term_trends_df(QUERY_TERMS, bucket_seconds=30)
+    want = simple.term_trends(
+        analytics_engine.docs, QUERY_TERMS, bucket_seconds=30
+    )
+    assert _rows(got) == _rows(want)
+    # 120 turns at 1s spacing / 30s buckets -> 4 buckets per term
+    assert len(_rows(got)) == 8
+
+
 def test_engine_analytics_never_retokenize(analytics_engine, monkeypatch):
     """The index-backed paths must not touch the corpus tokenizer —
     poison both tokenizer entry points and run every operator."""
@@ -194,6 +204,7 @@ def test_engine_analytics_never_retokenize(analytics_engine, monkeypatch):
     assert eng.synonym_ranked_df(SYN_GROUPS, k=3).count() > 0
     assert eng.bm25f_conv_df(QUERY, k=3).count() > 0
     assert eng.regex_vocab_df(REGEX).count() > 0
+    assert eng.term_trends_df(QUERY_TERMS, bucket_seconds=30).count() > 0
 
 
 def test_lazy_plans_never_scan_text(spark, analytics_engine):
@@ -208,6 +219,9 @@ def test_lazy_plans_never_scan_text(spark, analytics_engine):
             spark, eng.synonym_ranked_df(SYN_GROUPS, k=3)
         ),
         "regex": _formatted_plan(spark, eng.regex_vocab_df(REGEX)),
+        "trends": _formatted_plan(
+            spark, eng.term_trends_df(QUERY_TERMS, bucket_seconds=30)
+        ),
     }
     for name, plan in plans.items():
         assert "text:string" not in plan, name
