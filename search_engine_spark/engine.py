@@ -2247,7 +2247,8 @@ class TranscriptSearchEngine:
         qt = sorted({t for t in self._ranked_terms(query) if t})
         schema = "term string, fg_df long, df long, score double"
         empty = self.spark.createDataFrame([], schema)
-        present = [t for t in qt if self._term_dfs(qt).get(t)]
+        dfs = self._term_dfs(qt)
+        present = [t for t in qt if dfs.get(t)]
         if not present:
             return empty
         fg = (
@@ -2337,14 +2338,22 @@ class TranscriptSearchEngine:
         (top-k doc, query term) with every factor — tf, df,
         ``wqt = ln(1+N/df)``, ``wdt = 1+ln tf``, the doc's L_d
         (``weight``) and ``contrib = wqt·wdt/L_d`` — so a doc's
-        contribs sum to its :meth:`ranked_query_df` score.
+        contribs sum to its :meth:`ranked_query_df` score. A REPEATED
+        query term accumulates once per occurrence on the ranked path
+        (reference ``query.py:73-83`` semantics), so its single explain
+        row folds the multiplicity into ``contrib`` (wqt/wdt stay the
+        per-occurrence factors; the sum invariant holds to the shared
+        6-dp rounding).
 
         Cost shape: the underlying ranked query runs as usual; the
         explain pass then decodes ONLY the query terms' cells in the
         k result docs' blocks (term + block isin pushdown) and masks to
         the k ids — O(k · |terms|) output, no corpus scan, no
         re-tokenize."""
-        qt = sorted({t for t in self._ranked_terms(query) if t})
+        from collections import Counter
+
+        mult = Counter(t for t in self._ranked_terms(query) if t)
+        qt = sorted(mult)
         dfs = self._term_dfs(qt)
         present = [t for t in qt if dfs.get(t)]
         schema = (
@@ -2398,7 +2407,8 @@ class TranscriptSearchEngine:
             extract, "doc_id long, term string, tf long, weight double"
         )
         qdf = self.spark.createDataFrame(
-            [(t, int(dfs[t])) for t in present], "term string, df long"
+            [(t, int(dfs[t]), int(mult[t])) for t in present],
+            "term string, df long, mult long",
         )
         wqt = F.log(F.lit(1.0) + F.lit(float(self.num_docs)) / F.col("df"))
         wdt = F.lit(1.0) + F.log("tf")
@@ -2410,7 +2420,9 @@ class TranscriptSearchEngine:
             F.round(wqt, 6).alias("wqt"),
             F.round(wdt, 6).alias("wdt"),
             F.round(F.col("weight"), 6).alias("weight"),
-            F.round(wqt * wdt / F.col("weight"), 6).alias("contrib"),
+            F.round(
+                F.col("mult") * wqt * wdt / F.col("weight"), 6
+            ).alias("contrib"),
         )
 
     def phrase_ranked_df(self, query: str, k: int = DEFAULT_K) -> DataFrame:
@@ -2427,7 +2439,11 @@ class TranscriptSearchEngine:
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not terms:
             return empty
-        cells = self._ranked_cells(terms)
+        # scoring dedupes (the twin's ranked_scores scores each DISTINCT
+        # term once — a repeated phrase word must not double its idf
+        # contribution); the positional match below keeps the ordered
+        # duplicate-preserving list, which phrase semantics require
+        cells = self._ranked_cells(sorted(set(terms)))
         if cells is None:
             return empty
         allowed = self._phrase_df(terms).select(
@@ -2523,11 +2539,20 @@ class TranscriptSearchEngine:
         roles = sorted(weights)
         words = query.split() if isinstance(query, str) else list(query)
         qstems = sorted({query_normalize(w) for w in words if query_normalize(w)})
+        if not qstems:
+            # empty / symbol-only query: same guard as the sibling
+            # analytics paths (bm25f_score_topk cannot aggregate an
+            # empty term list)
+            return self.spark.createDataFrame([], "conv_id string, score double")
         cells = self._postings_for_terms(qstems).select(
             "block_id", "term", "postings_bin"
         )
         blocks = cells.select("block_id").distinct()
-        meta = (
+        # tombstone-masked: a deleted turn's CONTENT must not score its
+        # conversation (the masked meta drops its postings in the
+        # cogroup's inner join); field lengths below stay pre-delete,
+        # the corpus-stats discipline every query path follows
+        meta = self._mask_deleted(
             self.docs.select(
                 "doc_id", self._block_id_col(), "conv_id", "role"
             )
@@ -2631,12 +2656,15 @@ class TranscriptSearchEngine:
                     ),
                     "term_b",
                 )
-                .select("term_a", "term_b", "n_pair", pmi.alias("_s"))
-                .orderBy(F.desc("_s"), F.asc("term_a"), F.asc("term_b"))
-                .limit(int(k))
                 .select(
-                    "term_a", "term_b", "n_pair", F.round("_s", 6).alias("pmi")
+                    "term_a", "term_b", "n_pair",
+                    F.round(pmi, 6).alias("pmi"),
                 )
+                # order on the ROUNDED pmi with (term_a, term_b) ties —
+                # the textstats twin's ordering, deterministic at the
+                # k boundary when unrounded scores differ by < 5e-7
+                .orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
+                .limit(int(k))
                 .collect()
             )
         finally:

@@ -274,6 +274,11 @@ def bm25f_score_topk(
     is bit-identical for any producer of the same integers."""
     from pyspark import StorageLevel
 
+    if not qt:
+        # empty / symbol-only query: agg(*[]) is rejected by Spark, and
+        # an empty term list can match nothing anyway
+        return spark.createDataFrame([], "conv_id string, score double")
+
     # per-conv integer tf matrix: one column per (term, role)
     tf_cols = [
         F.coalesce(

@@ -94,6 +94,29 @@ def test_facet_counts_exclude_deleted(deleted_engine):
     assert not (hits & dele)
 
 
+def test_bm25f_conv_masks_deleted_turn_content(spark, tmp_path):
+    """A deleted turn's content must not score its conversation: delete
+    the ONLY turn containing the query term and the conversation drops
+    out of the BM25F result (field lengths stay pre-delete, like every
+    other path's stats)."""
+    from search_engine_spark.fixtures import TRANSCRIPT_SCHEMA
+    import datetime as dt
+
+    epoch = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c0", 0, "user", "unicorn word here", "", epoch),
+        ("c0", 1, "assistant", "plain reply text", "", epoch),
+        ("c1", 0, "user", "plain other words", "", epoch),
+    ]
+    docs = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    eng = TranscriptSearchEngine.build(spark, docs, str(tmp_path / "idx"))
+    before = {r["conv_id"] for r in eng.bm25f_conv_df("unicorn").collect()}
+    assert before == {"c0"}
+    eng.delete([0])  # the only turn containing 'unicorn'
+    after = {r["conv_id"] for r in eng.bm25f_conv_df("unicorn").collect()}
+    assert after == set()
+
+
 def test_term_trends_exclude_deleted(deleted_engine):
     """The trend view masks tombstones (unlike the corpus-global
     scoring stats): per-term n_turns must total the LIVE doc count for

@@ -124,6 +124,47 @@ def test_explain_contribs_sum_to_ranked_score(analytics_engine):
         assert abs(scores[r["doc_id"]] - r["s"]) < 5e-6
 
 
+def test_explain_contribs_sum_with_repeated_term(analytics_engine):
+    """A repeated query term accumulates per occurrence on the ranked
+    path; explain folds the multiplicity into contrib, so the sum
+    invariant must hold for 'join join fast' too."""
+    eng = analytics_engine
+    q = "join join fast"
+    scores = dict(eng.ranked_query(q, k=5))
+    contribs = (
+        eng.ranked_explain_df(q, k=5)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("s"))
+        .collect()
+    )
+    assert len(contribs) == 5
+    for r in contribs:
+        assert abs(scores[r["doc_id"]] - r["s"]) < 5e-6
+
+
+def test_phrase_ranked_repeated_word_matches_simple(analytics_engine):
+    """A phrase with a repeated word must score each DISTINCT term once
+    (the twin's semantics) — the repeated word's idf contribution must
+    not double."""
+    got = analytics_engine.phrase_ranked_df("join join", k=BIG_K)
+    want = simple.phrase_ranked(
+        analytics_engine.docs, ["join", "join"], k=BIG_K
+    )
+    g = sorted((r["doc_id"], round(r["score"], 6)) for r in got.collect())
+    assert g == _rows(want)
+    assert len(g) == 4  # seed-7 corpus has 4 'join join' docs
+
+
+def test_bm25f_conv_empty_query_returns_empty(analytics_engine):
+    assert analytics_engine.bm25f_conv_df("", k=5).count() == 0
+    assert (
+        simple.bm25f_conv(
+            analytics_engine.docs.select("conv_id", "role", "text"), [], k=5
+        ).count()
+        == 0
+    )
+
+
 def test_phrase_ranked_matches_simple(analytics_engine):
     got = analytics_engine.phrase_ranked_df(PHRASE, k=BIG_K)
     want = simple.phrase_ranked(
