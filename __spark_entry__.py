@@ -10,7 +10,7 @@ Porter2 engine, ANN, and multimodal entries get oracles via
 materialized deterministic inputs (stemmed-tf dump; inlined
 hyperplane / centroid literals; fake-feature dump — each re-derived
 by the same pure-Python/numpy helpers the Spark plans use, see
-``contract.py``), so all 98 entries carry value-level oracles. The catalog
+``contract.py``), so all 100 entries carry value-level oracles. The catalog
 also covers the curation surface (composed pipeline, PII scan/redact,
 benchmark decontamination, dedup groups, deterministic sampling,
 context packing, keyword extraction), events analytics (sessionization,
