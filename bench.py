@@ -79,6 +79,7 @@ def main() -> None:
         similarity,
         textstats,
     )
+    from search_engine_spark.fsck import fsck_index
     from search_engine_spark.session import get_spark
 
     probes: dict[str, float] = {"pre": cpu_probe()}
@@ -216,6 +217,14 @@ def main() -> None:
             lambda: eng.term_trends_df(
                 ["spark", "join", "fast"], bucket_seconds=60
             ).count(),
+        ),
+        (
+            # full structural verification: every posting blob decoded
+            # and every invariant re-derived (maintenance-path cost)
+            "index_fsck",
+            lambda: fsck_index(spark, index_dir)
+            .agg(F.sum("violations"))
+            .collect(),
         ),
         # ---- simple-analyzer relational path ----
         ("tf_table_agg", lambda: simple.tf_table(docs).count()),
