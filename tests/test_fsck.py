@@ -184,3 +184,38 @@ def test_fsck_detects_stats_corruption(spark, tmp_path):
     rep = _report(spark, idx, deep=True)
     assert rep["deep_weights"][1] >= 1
     assert rep["deep_l2norm"][1] >= 1
+
+
+def test_fsck_detects_dangling_tombstone(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    b = IndexBuilder(spark, idx, block_span=16)
+    b.build(synthetic_transcripts(spark, n_convs=5, turns_per_conv=4))
+    b.delete([1, 7])
+    _assert_clean(_report(spark, idx))
+
+    # corrupt the snapshot with a tombstone pointing at a doc that was
+    # never indexed (delete() itself rejects out-of-range ids, so this
+    # state can only arise from storage corruption)
+    import json
+
+    with open(os.path.join(idx, "_meta.json")) as fh:
+        tomb_table = json.load(fh)["tombstones_table"]
+    tf = sorted(
+        f
+        for f in glob.glob(
+            os.path.join(idx, tomb_table, "**", "*.parquet"), recursive=True
+        )
+        if pq.read_metadata(f).num_rows > 0
+    )[0]
+
+    def add_dangler(pdf):
+        dangler = pdf.iloc[:1].copy()
+        dangler["doc_id"] = 10_000
+        dangler["block_id"] = 10_000 // 16
+        import pandas as pd
+
+        return pd.concat([pdf, dangler], ignore_index=True)
+
+    _patch_parquet(tf, add_dangler)
+    rep = _report(spark, idx)
+    assert rep["tombstones"][1] >= 1
